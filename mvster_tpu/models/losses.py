@@ -1,0 +1,123 @@
+"""Training losses: per-stage Sinkhorn OT supervision + mono L1 auxiliary.
+
+Behavioral contract mirrors MVS4net_loss / Blend_loss
+(/root/reference/models/MVS4Net.py:113-206), re-expressed with masked-mean
+reductions (static shapes for jit).  All reductions are float32.
+
+Note a reference quirk preserved deliberately: the training driver passes
+`l1ce_lw` but the loss reads `l1ot_lw` (train_mvs4.py:212 vs MVS4Net.py:115),
+so the published runs always use the default (0, 1) = pure OT weighting.  Our
+config plumbs `l1ot_lw` for real, defaulting to (0, 1).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from mvster_tpu.core.sinkhorn import sinkhorn
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(jnp.float32)
+    return jnp.sum(x.astype(jnp.float32) * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def _stage_items(outputs: dict[str, Any]):
+    keys = sorted(
+        (k for k in outputs if k.startswith("stage")), key=lambda s: int(s[5:])
+    )
+    return [(k, outputs[k]) for k in keys]
+
+
+def mvs4net_loss(
+    outputs: dict[str, Any],
+    depth_gt_ms: dict[str, jnp.ndarray],
+    mask_ms: dict[str, jnp.ndarray],
+    *,
+    stage_lw=(1.0, 1.0, 1.0, 1.0),
+    l1ot_lw=(0.0, 1.0),
+    inverse_depth: bool = False,
+    ot_iter: int = 10,
+    ot_eps: float = 1.0,
+    ot_continous: bool = False,
+    mono: bool = False,
+):
+    """Total loss + per-stage diagnostics.
+
+    Returns (total_loss, aux) where aux = {stage_l1_loss, stage_ot_loss,
+    range_err_ratio} each a list of scalars (stage order).
+    """
+    total = jnp.float32(0.0)
+    stage_l1, stage_ot, range_err = [], [], []
+    for stage_idx, (key, stage_out) in enumerate(_stage_items(outputs)):
+        hypo = stage_out["hypo_depth"]
+        attn = stage_out["attn_weight"]
+        mask = mask_ms[key] > 0.5
+        gt = depth_gt_ms[key]
+
+        if mono and stage_idx != 0:
+            l1 = _masked_mean(jnp.abs(stage_out["mono_depth"] - gt), mask)
+        else:
+            l1 = jnp.float32(0.0)
+
+        # fraction of valid pixels whose GT lies outside the hypothesis range
+        if inverse_depth:
+            itv = jnp.abs(1.0 / hypo[:, 2] - 1.0 / hypo[:, 1])
+            inside = jnp.abs(1.0 / hypo - 1.0 / gt[:, None]) <= itv[:, None]
+        else:
+            itv = jnp.abs(hypo[:, 2] - hypo[:, 1])
+            inside = jnp.abs(hypo - gt[:, None]) <= itv[:, None]
+        out_of_range = jnp.sum(inside, axis=1) == 0  # (B, H, W)
+        range_err.append(_masked_mean(out_of_range, mask))
+
+        _, ot = sinkhorn(
+            gt, hypo, attn, mask, iters=ot_iter, eps=ot_eps, continuous=ot_continous
+        )
+        stage_l1.append(l1)
+        stage_ot.append(ot)
+        total = total + stage_lw[stage_idx] * (l1ot_lw[0] * l1 + l1ot_lw[1] * ot)
+
+    aux = {
+        "stage_l1_loss": stage_l1,
+        "stage_ot_loss": stage_ot,
+        "range_err_ratio": range_err,
+    }
+    return total, aux
+
+
+def blend_loss(
+    outputs: dict[str, Any],
+    depth_gt_ms: dict[str, jnp.ndarray],
+    mask_ms: dict[str, jnp.ndarray],
+    *,
+    depth_min: jnp.ndarray,
+    depth_max: jnp.ndarray,
+    stage_lw=(1.0, 1.0, 1.0, 1.0),
+    l1ot_lw=(0.0, 1.0),
+    inverse_depth: bool = False,
+    ot_iter: int = 10,
+    ot_eps: float = 1.0,
+    ot_continous: bool = False,
+    mono: bool = False,
+):
+    """BlendedMVS fine-tune variant: adds depth-normalized EPE / err1 / err3.
+
+    depth_min / depth_max: (B,) per-sample scene range used to normalize the
+    final-stage depth into the 128-bin scale (Blend_loss, MVS4Net.py:180-181).
+    """
+    total, aux = mvs4net_loss(
+        outputs, depth_gt_ms, mask_ms,
+        stage_lw=stage_lw, l1ot_lw=l1ot_lw, inverse_depth=inverse_depth,
+        ot_iter=ot_iter, ot_eps=ot_eps, ot_continous=ot_continous, mono=mono,
+    )
+    last_key, last = _stage_items(outputs)[-1]
+    mask = mask_ms[last_key] > 0.5
+    scale = (128.0 / (depth_max - depth_min))[:, None, None]
+    abs_err = jnp.abs(last["depth"] * scale - depth_gt_ms[last_key] * scale)
+    aux = dict(aux)
+    aux["epe"] = _masked_mean(abs_err, mask)
+    aux["err3"] = _masked_mean(abs_err <= 3.0, mask) * 100.0
+    aux["err1"] = _masked_mean(abs_err <= 1.0, mask) * 100.0
+    return total, aux

@@ -1,0 +1,253 @@
+"""MVS4Net: the 4-stage coarse-to-fine cascade, assembled TPU-first.
+
+Differences from the reference assembly (/root/reference/models/MVS4Net.py:9-111)
+that matter on TPU:
+
+  * Views are folded into the batch axis for feature extraction (one big conv
+    batch for the MXU instead of an Nv-long Python loop of small convs).
+  * The depth range scalars stay on device (the reference round-trips
+    depth_values to the CPU at MVS4Net.py:61-63 — a sync point per step).
+  * Stages are unrolled Python (their shapes differ, so lax.scan can't fuse
+    them; XLA still pipelines across the unrolled stages).
+  * Everything is channels-last and jit-compatible: no data-dependent shapes,
+    confidence is computed unconditionally (cheap) instead of branching on
+    `self.training`.
+
+The config dataclass mirrors the reference CLI surface
+(train_mvs4.py:46-77): stage_splits, depth_interals_ratio, group correlation,
+inverse depth, agg_type, dcn / pos_enc / mono / ASFF / attn_temp and the
+reg2d/reg3d switch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mvster_tpu.core.geometry import compose_projection
+from mvster_tpu.core.hypothesis import (
+    init_inverse_range,
+    init_range,
+    schedule_inverse_range,
+    schedule_range,
+)
+from mvster_tpu.core.sampling import resize_bilinear_align_corners
+from mvster_tpu.kernels.cost_volume import build_cost_volume
+from mvster_tpu.nn.fpn import ASFF, FPN4, FPN4ConvNeXt, FPN4ConvNeXt4
+from mvster_tpu.nn.mono import MonoDepthDecoder
+from mvster_tpu.nn.posenc import PosEncLearned, PosEncSine
+from mvster_tpu.nn.reg import Reg2d, Reg3d
+
+
+@dataclasses.dataclass(frozen=True)
+class MVS4NetConfig:
+    arch_mode: str = "fpn"  # fpn | convnext | convnext4
+    reg_net: str = "reg2d"  # reg2d | reg3d
+    num_stage: int = 4
+    fpn_base_channel: int = 8
+    reg_channel: int = 8
+    stage_splits: Sequence[int] = (8, 8, 4, 4)
+    depth_interals_ratio: Sequence[float] = (0.5, 0.5, 0.5, 1.0)
+    group_cor: bool = False
+    group_cor_dim: Sequence[int] = (8, 8, 8, 8)
+    inverse_depth: bool = False
+    agg_type: str = "ConvBnReLU3D"
+    dcn: bool = False
+    pos_enc: int = 0  # 0 none | 1 sine | 2 learned
+    mono: bool = False
+    asff: bool = False
+    attn_temp: float = 2.0
+    attn_fuse_d: bool = True
+    # reg3d down levels per stage (MVS4Net.py:47-48)
+    reg3d_down_size: Sequence[int] = (3, 3, 2, 2)
+
+    @classmethod
+    def dtu_default(cls, **overrides) -> "MVS4NetConfig":
+        """The published DTU training config (scripts/train_dtu.sh:20-24)."""
+        base = dict(
+            group_cor=True,
+            group_cor_dim=(8, 8, 4, 4),
+            inverse_depth=True,
+            mono=True,
+            attn_temp=2.0,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+
+class MVS4Net(nn.Module):
+    """4-stage cascaded MVS depth network.
+
+    __call__ args:
+      imgs: (B, V, H, W, 3) float images in [0, 1]; view 0 is the reference.
+      proj_matrices: dict "stage1".."stage4" -> (B, V, 2, 4, 4).
+      depth_values: (B, K) with [:,0]=dmin, [:,-1]=dmax (K=2 in training,
+        K=192 in DTU eval).
+      train: static bool (batch-norm mode + mono decoder).
+
+    Returns a dict: "stage{i}" sub-dicts with depth / photometric_confidence /
+    hypo_depth / attn_weight (+ inverse range bounds, mono depth), plus the
+    final stage's fields at the top level.
+    """
+
+    config: MVS4NetConfig
+
+    @nn.compact
+    def __call__(self, imgs, proj_matrices, depth_values, train: bool = False):
+        cfg = self.config
+        b, v, h, w, _ = imgs.shape
+        k = depth_values.shape[1]
+        depth_min = depth_values[:, 0]
+        depth_max = depth_values[:, -1]
+        depth_interval = (depth_max - depth_min) / k
+
+        # --- feature extraction: fold views into batch for one big conv batch
+        if cfg.arch_mode == "fpn":
+            backbone = FPN4(cfg.fpn_base_channel, dcn=cfg.dcn, name="feature")
+        elif cfg.arch_mode == "convnext":
+            backbone = FPN4ConvNeXt(cfg.fpn_base_channel, dcn=cfg.dcn, name="feature")
+        elif cfg.arch_mode == "convnext4":
+            backbone = FPN4ConvNeXt4(cfg.fpn_base_channel, dcn=cfg.dcn, name="feature")
+        else:
+            raise ValueError(f"unknown arch_mode {cfg.arch_mode}")
+        flat = imgs.reshape(b * v, h, w, imgs.shape[-1])
+        feats_flat = backbone(flat, train)
+        # dict stage -> (B, V, Hs, Ws, C)
+        features = {
+            key: val.reshape(b, v, *val.shape[1:]) for key, val in feats_flat.items()
+        }
+
+        if cfg.asff:
+            asff_mods = [ASFF(i, name=f"asff_{i}") for i in range(cfg.num_stage)]
+
+        outputs: dict[str, Any] = {}
+        prev: dict[str, Any] = {}
+        for stage_idx in range(cfg.num_stage):
+            stage_key = f"stage{stage_idx + 1}"
+            if not cfg.asff:
+                feat_stage = features[stage_key]  # (B, V, Hs, Ws, C)
+            else:
+                per_view = []
+                for view in range(v):
+                    per_view.append(
+                        asff_mods[stage_idx](
+                            features["stage1"][:, view],
+                            features["stage2"][:, view],
+                            features["stage3"][:, view],
+                            features["stage4"][:, view],
+                            train,
+                        )
+                    )
+                feat_stage = jnp.stack(per_view, axis=1)
+
+            hs, ws = feat_stage.shape[2], feat_stage.shape[3]
+            ndepth = cfg.stage_splits[stage_idx]
+
+            if stage_idx == 0:
+                if cfg.inverse_depth:
+                    depth_hypo = init_inverse_range(depth_values, ndepth, hs, ws)
+                else:
+                    depth_hypo = init_range(depth_values, ndepth, hs, ws)
+            else:
+                if cfg.inverse_depth:
+                    depth_hypo = schedule_inverse_range(
+                        jax.lax.stop_gradient(prev["inverse_min_depth"]),
+                        jax.lax.stop_gradient(prev["inverse_max_depth"]),
+                        ndepth, hs, ws,
+                    )
+                else:
+                    depth_hypo = schedule_range(
+                        jax.lax.stop_gradient(prev["depth"]),
+                        ndepth,
+                        cfg.depth_interals_ratio[stage_idx] * depth_interval,
+                        hs, ws,
+                    )
+
+            prev = self._stage(
+                feat_stage, proj_matrices[stage_key], depth_hypo, stage_idx, train
+            )
+            outputs[stage_key] = prev
+
+        outputs.update(prev)  # final-stage fields at top level
+
+        if cfg.mono and train:
+            mono_feats = {
+                key: outputs[key]["mono_feat"] for key in outputs if key.startswith("stage")
+            }
+            mono_depths = MonoDepthDecoder(name="mono_depth_decoder")(
+                mono_feats, depth_values[:, 0], depth_values[:, 1], train
+            )
+            for key, depth in mono_depths.items():
+                outputs[key]["mono_depth"] = depth
+
+        return outputs
+
+    def _stage(self, feat_stage, projs, depth_hypo, stage_idx, train):
+        """One cascade stage: cost volume -> regularize -> softmax-argmax depth.
+
+        Mirrors stagenet.forward (mvs4net_utils.py:1012-1094).
+        """
+        cfg = self.config
+        ref_feat = feat_stage[:, 0]
+        src_feats = [feat_stage[:, i] for i in range(1, feat_stage.shape[1])]
+        composed = compose_projection(projs)  # (B, V, 4, 4)
+        ref_proj = composed[:, 0]
+        src_projs = [composed[:, i] for i in range(1, composed.shape[1])]
+
+        cor_feats = build_cost_volume(
+            ref_feat,
+            src_feats,
+            ref_proj,
+            src_projs,
+            depth_hypo,
+            group_cor=cfg.group_cor,
+            group_dim=cfg.group_cor_dim[stage_idx],
+            attn_temp=cfg.attn_temp,
+            attn_fuse_d=cfg.attn_fuse_d,
+        )  # (B, D, H, W, G|C)
+
+        if cfg.pos_enc == 1:
+            cor_feats = PosEncSine(name=f"pos_enc_{stage_idx}")(cor_feats, depth_hypo)
+        elif cfg.pos_enc == 2:
+            cor_feats = PosEncLearned(
+                cfg.stage_splits[stage_idx], name=f"pos_enc_{stage_idx}"
+            )(cor_feats)
+
+        if cfg.reg_net == "reg2d":
+            regnet = Reg2d(cfg.reg_channel, cfg.agg_type, name=f"reg_{stage_idx}")
+        else:
+            regnet = Reg3d(
+                cfg.reg_channel, cfg.reg3d_down_size[stage_idx],
+                name=f"reg_{stage_idx}",
+            )
+        logits = regnet(cor_feats, train)  # (B, D, H, W)
+        attn_weight = jax.nn.softmax(logits, axis=1)
+
+        idx = jnp.argmax(attn_weight, axis=1, keepdims=True)  # (B, 1, H, W)
+        depth = jnp.take_along_axis(depth_hypo, idx, axis=1)[:, 0]  # (B, H, W)
+
+        conf = jnp.max(attn_weight, axis=1)  # (B, H, W)
+        up = 2 ** (3 - stage_idx)
+        if up > 1:
+            conf = resize_bilinear_align_corners(
+                conf[..., None], conf.shape[1] * up, conf.shape[2] * up
+            )[..., 0]
+
+        ret = {
+            "depth": depth,
+            "photometric_confidence": conf,
+            "hypo_depth": depth_hypo,
+            "attn_weight": attn_weight,
+        }
+        if cfg.inverse_depth:
+            itv = 1.0 / depth_hypo[:, 2] - 1.0 / depth_hypo[:, 1]  # (B, H, W)
+            split = cfg.depth_interals_ratio[stage_idx]
+            ret["inverse_min_depth"] = 1.0 / depth + split * itv
+            ret["inverse_max_depth"] = 1.0 / depth - split * itv
+        if cfg.mono:
+            ret["mono_feat"] = feat_stage[:, 0]
+        return ret

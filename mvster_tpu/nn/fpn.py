@@ -1,0 +1,260 @@
+"""Feature pyramid networks (4-level) + adaptive spatial feature fusion.
+
+TPU-first notes: all convs are channels-last NHWC; the top-down pathway
+upsamples with the align-corners bilinear matmul resize from core.sampling
+(exact parity with `F.interpolate(align_corners=True)` in the reference FPN4,
+/root/reference/models/mvs4net_utils.py:419-502).  View batching is the
+caller's job — the cascade folds the view axis into batch so the MXU sees one
+large conv instead of Nv small ones.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mvster_tpu.core.sampling import (
+    max_pool2d,
+    resize_bilinear_align_corners,
+    upsample_nearest,
+)
+from mvster_tpu.nn.blocks import ConvBlock2d
+from mvster_tpu.nn.dcn import DeformConvBlock
+
+
+class FPN4(nn.Module):
+    """4-level FPN: strided encoder + lateral 1x1 + align-corners top-down.
+
+    Output channels [8b, 4b, 2b, b] at strides [8, 4, 2, 1] as stage1..4.
+    Mirrors FPN4 (mvs4net_utils.py:419-502).
+    """
+
+    base_channels: int = 8
+    gn: bool = False
+    dcn: bool = False
+
+    @property
+    def out_channels(self):
+        b = self.base_channels
+        return [8 * b, 4 * b, 2 * b, b]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> dict[str, Any]:
+        b = self.base_channels
+        gn = self.gn
+
+        def enc_block(channels, specs, name):
+            def apply(h):
+                for i, (k, s, p) in enumerate(specs):
+                    h = ConvBlock2d(
+                        channels, k, s, p, gn=gn, name=f"{name}_{i}"
+                    )(h, train)
+                return h
+            return apply
+
+        conv0 = enc_block(b, [(3, 1, 1), (3, 1, 1)], "conv0")(x)
+        conv1 = enc_block(2 * b, [(5, 2, 2), (3, 1, 1), (3, 1, 1)], "conv1")(conv0)
+        conv2 = enc_block(4 * b, [(5, 2, 2), (3, 1, 1), (3, 1, 1)], "conv2")(conv1)
+        conv3 = enc_block(8 * b, [(5, 2, 2), (3, 1, 1), (3, 1, 1)], "conv3")(conv2)
+
+        final = 8 * b
+        intra = conv3
+        out1 = nn.Conv(8 * b, (1, 1), use_bias=False, name="out1")(intra)
+
+        def up(feat):
+            h, w = feat.shape[-3] * 2, feat.shape[-2] * 2
+            return resize_bilinear_align_corners(feat, h, w)
+
+        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner1")(conv2)
+        out2 = nn.Conv(4 * b, (3, 3), padding=1, use_bias=False, name="out2")(intra)
+
+        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner2")(conv1)
+        out3 = nn.Conv(2 * b, (3, 3), padding=1, use_bias=False, name="out3")(intra)
+
+        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner3")(conv0)
+        out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False, name="out4")(intra)
+
+        if self.dcn:
+            out1 = DeformConvBlock(8 * b, gn=gn, name="dcn1")(out1, train)
+            out2 = DeformConvBlock(4 * b, gn=gn, name="dcn2")(out2, train)
+            out3 = DeformConvBlock(2 * b, gn=gn, name="dcn3")(out3, train)
+            out4 = DeformConvBlock(b, gn=gn, name="dcn4")(out4, train)
+
+        return {"stage1": out1, "stage2": out2, "stage3": out3, "stage4": out4}
+
+
+class ChannelsLastLayerNorm(nn.Module):
+    """LayerNorm over the trailing channel axis (eps 1e-6, ConvNeXt-style)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+
+
+class ConvNeXtBlock(nn.Module):
+    """Strided depthwise-7x7 ConvNeXt downsampling block (2x channels).
+
+    Mirrors convnext_block (mvs4net_utils.py:526-551): dw-conv stride 2 with
+    feature_group_count=dim, LN, 1x1 MLP (4x expand) with GELU, layer scale.
+    No residual (the stride-2 output has no skip).
+    """
+
+    dim: int
+    layer_scale_init: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = 2 * self.dim
+        x = nn.Conv(
+            out_ch, (7, 7), strides=(2, 2), padding=3,
+            feature_group_count=self.dim, name="dwconv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.Dense(4 * self.dim, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(out_ch, name="pwconv2")(x)
+        if self.layer_scale_init > 0:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(self.layer_scale_init), (out_ch,)
+            )
+            x = gamma * x
+        return x
+
+
+class ConvNeXt4Block(nn.Module):
+    """Patchify-style ConvNeXt block: stride-2 2x2 conv + residual dw block.
+
+    Mirrors convnext4_block (mvs4net_utils.py:553-579).
+    """
+
+    dim: int
+    layer_scale_init: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = 2 * self.dim
+        inp = nn.Conv(out_ch, (2, 2), strides=(2, 2), padding=0, name="sconv")(x)
+        x = nn.Conv(
+            out_ch, (7, 7), padding=3, feature_group_count=self.dim, name="dwconv"
+        )(inp)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.Dense(4 * self.dim, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(out_ch, name="pwconv2")(x)
+        if self.layer_scale_init > 0:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(self.layer_scale_init), (out_ch,)
+            )
+            x = gamma * x
+        return inp + x
+
+
+class _FPNConvNeXtBase(nn.Module):
+    """Shared FPN assembly for the ConvNeXt encoder variants."""
+
+    base_channels: int = 8
+    gn: bool = False
+    dcn: bool = False
+    block_cls: type = ConvNeXtBlock
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = self.base_channels
+        conv0 = ConvBlock2d(b, 3, 1, 1, gn=self.gn, name="conv0_0")(x, train)
+        conv0 = ConvBlock2d(b, 3, 1, 1, gn=self.gn, name="conv0_1")(conv0, train)
+        conv1 = self.block_cls(b, name="conv1")(conv0)
+        conv2 = self.block_cls(2 * b, name="conv2")(conv1)
+        conv3 = self.block_cls(4 * b, name="conv3")(conv2)
+
+        final = 8 * b
+        intra = conv3
+        out1 = nn.Conv(8 * b, (1, 1), use_bias=False, name="out1")(intra)
+
+        def up(feat):
+            h, w = feat.shape[-3] * 2, feat.shape[-2] * 2
+            return resize_bilinear_align_corners(feat, h, w)
+
+        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner1")(conv2)
+        out2 = nn.Conv(4 * b, (3, 3), padding=1, use_bias=False, name="out2")(intra)
+        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner2")(conv1)
+        out3 = nn.Conv(2 * b, (3, 3), padding=1, use_bias=False, name="out3")(intra)
+        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner3")(conv0)
+        out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False, name="out4")(intra)
+
+        if self.dcn:
+            out1 = DeformConvBlock(8 * b, gn=self.gn, name="dcn1")(out1, train)
+            out2 = DeformConvBlock(4 * b, gn=self.gn, name="dcn2")(out2, train)
+            out3 = DeformConvBlock(2 * b, gn=self.gn, name="dcn3")(out3, train)
+            out4 = DeformConvBlock(b, gn=self.gn, name="dcn4")(out4, train)
+
+        return {"stage1": out1, "stage2": out2, "stage3": out3, "stage4": out4}
+
+
+class FPN4ConvNeXt(_FPNConvNeXtBase):
+    block_cls: type = ConvNeXtBlock
+
+
+class FPN4ConvNeXt4(_FPNConvNeXtBase):
+    block_cls: type = ConvNeXt4Block
+
+
+class ASFF(nn.Module):
+    """Adaptive spatial feature fusion across the 4 FPN levels.
+
+    `level` selects the output resolution (0 = coarsest / stage1).  All other
+    levels are resampled to it (strided convs or maxpool down; nearest up +
+    1x1 compress), then blended with softmax pixel weights.  Mirrors ASFF
+    (mvs4net_utils.py:723-805) with dims [64, 32, 16, 8].
+    """
+
+    level: int
+    dims: tuple = (64, 32, 16, 8)
+
+    @nn.compact
+    def __call__(self, x0, x1, x2, x3, train: bool = False):
+        lvl = self.level
+        inter = self.dims[lvl]
+        feats = [x0, x1, x2, x3]
+
+        def compress(x, name):
+            return ConvBlock2d(inter, 1, 1, 0, name=name)(x, train)
+
+        def stride_down(x, name):
+            return ConvBlock2d(inter, 3, 2, 1, name=name)(x, train)
+
+        if lvl == 0:
+            r0 = x0
+            r1 = stride_down(x1, "stride_level_1")
+            r2 = stride_down(max_pool2d(x2, 2, 2), "stride_level_2")
+            r3 = stride_down(max_pool2d(x3, 4, 4), "stride_level_3")
+        elif lvl == 1:
+            r0 = upsample_nearest(compress(x0, "compress_level_0"), 2)
+            r1 = x1
+            r2 = stride_down(x2, "stride_level_2")
+            r3 = stride_down(max_pool2d(x3, 2, 2), "stride_level_3")
+        elif lvl == 2:
+            r0 = upsample_nearest(compress(x0, "compress_level_0"), 4)
+            r1 = upsample_nearest(compress(x1, "compress_level_1"), 2)
+            r2 = x2
+            r3 = stride_down(x3, "stride_level_3")
+        else:
+            r0 = upsample_nearest(compress(x0, "compress_level_0"), 8)
+            r1 = upsample_nearest(compress(x1, "compress_level_1"), 4)
+            r2 = upsample_nearest(compress(x2, "compress_level_2"), 2)
+            r3 = x3
+
+        weights = [
+            ConvBlock2d(8, 1, 1, 0, name=f"weight_level_{i}")(r, train)
+            for i, r in enumerate([r0, r1, r2, r3])
+        ]
+        w = nn.Conv(4, (1, 1), name="weight_levels")(
+            jnp.concatenate(weights, axis=-1)
+        )
+        w = jax.nn.softmax(w, axis=-1)
+        fused = (
+            r0 * w[..., 0:1] + r1 * w[..., 1:2] + r2 * w[..., 2:3] + r3 * w[..., 3:4]
+        )
+        return ConvBlock2d(inter, 3, 1, 1, name="expand")(fused, train)

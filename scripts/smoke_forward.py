@@ -1,0 +1,72 @@
+"""Smoke-drive the flagship model end-to-end through the public API.
+
+Builds MVS4Net with the published DTU config, random-inits it, runs a jitted
+forward at DTU-mid shape on whatever accelerator jax sees, and prints depth
+statistics + wall time.  Usage: python scripts/smoke_forward.py [H W V]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvster_tpu.models import MVS4Net, MVS4NetConfig
+
+sys.path.insert(0, "tests")
+from helpers import synthetic_sample  # noqa: E402
+
+
+def main():
+    h = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 640
+    v = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    print("devices:", jax.devices())
+
+    sample = synthetic_sample(0, nviews=v, h=h, w=w)
+    imgs = jnp.asarray(sample["imgs"])
+    projs = {k: jnp.asarray(p) for k, p in sample["proj_matrices"].items()}
+    dv = jnp.asarray(sample["depth_values"])
+
+    model = MVS4Net(MVS4NetConfig.dtu_default(mono=False))
+    t0 = time.time()
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), imgs, projs, dv, train=False)
+    )()
+    jax.block_until_ready(variables)
+    print(f"init: {time.time() - t0:.1f}s; params:",
+          sum(x.size for x in jax.tree_util.tree_leaves(variables["params"])))
+
+    @jax.jit
+    def forward(variables, imgs, projs, dv):
+        return model.apply(variables, imgs, projs, dv, train=False)
+
+    t0 = time.time()
+    out = forward(variables, imgs, projs, dv)
+    jax.block_until_ready(out)
+    print(f"first call (compile+run): {time.time() - t0:.1f}s")
+
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        out = forward(variables, imgs, projs, dv)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    depth = np.asarray(out["depth"])
+    conf = np.asarray(out["photometric_confidence"])
+    print(f"steady-state forward: {min(times) * 1000:.1f} ms")
+    print(f"depth shape {depth.shape} range [{depth.min():.1f}, {depth.max():.1f}]")
+    print(f"confidence range [{conf.min():.3f}, {conf.max():.3f}]")
+    for s in range(1, 5):
+        d = np.asarray(out[f"stage{s}"]["depth"])
+        print(f"  stage{s}: depth {d.shape}, hypo {np.asarray(out[f'stage{s}']['hypo_depth']).shape}")
+    assert np.isfinite(depth).all(), "non-finite depths!"
+    assert depth.min() >= 0, "negative depth!"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
