@@ -1,0 +1,221 @@
+"""Inference + fusion driver: depth maps -> filtered point clouds -> metric.
+
+The test_mvs4.py replacement.  Per scene: run the jitted cascade over every
+reference view (depth + confidence), write PFM/cams/images artifacts in the
+reference's on-disk layout, then run the DEVICE-SIDE geometric-consistency
+filter + fusion (one jit program per scene instead of a numpy/cv2 process
+pool) and write mvsnet{scan:03d}_l3.ply.  With --dtu_gt_dir set, finishes
+with the Python DTU benchmark (MATLAB replacement).
+
+Usage (mirrors scripts/test_dtu.sh):
+  python -m mvster_tpu.tools.test --testpath $DTU_TEST --testlist lists/dtu/test.txt \
+      --loadckpt ckpt.msgpack --interval_scale 1.06 --thres_view 4 --conf 0.5 \
+      --group_cor --attn_temp 2 --inverse_depth
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvster_tpu.data import find_dataset_def
+from mvster_tpu.data.common import read_pair_file, write_cam_file
+from mvster_tpu.data.pfm import write_pfm
+from mvster_tpu.infer.fusion import fuse_scene
+from mvster_tpu.infer.ply import write_ply
+from mvster_tpu.models import MVS4Net
+from mvster_tpu.tools.cli import build_test_parser, model_config_from_args
+from mvster_tpu.train.checkpoint import CheckpointManager
+
+
+def colormap_jet(depth: np.ndarray) -> np.ndarray:
+    import cv2
+
+    valid = depth > 0
+    mi = depth[valid].min() if valid.any() else 0.0
+    ma = depth.max()
+    norm = (depth - mi) / (ma - mi + 1e-8)
+    return cv2.applyColorMap((255 * norm).astype(np.uint8), cv2.COLORMAP_JET)
+
+
+def save_depth(args, model, variables, testlist):
+    """Inference over all scenes; returns total forward time + sample count."""
+    dataset_cls = find_dataset_def(args.dataset)
+    total_time, total_samples = 0.0, 0
+
+    @jax.jit
+    def forward(imgs, projs, depth_values):
+        out = model.apply(variables, imgs, projs, depth_values, train=False)
+        result = {
+            "depth": out["depth"],
+            "confidence": out["photometric_confidence"],
+        }
+        for s in range(1, 5):
+            result[f"stage{s}_depth"] = out[f"stage{s}"]["depth"]
+            result[f"stage{s}_conf"] = out[f"stage{s}"]["photometric_confidence"]
+        return result
+
+    for scan in testlist:
+        if args.dataset.startswith("general"):
+            dataset = dataset_cls(
+                args.testpath, [scan], "test", args.num_view,
+                args.interval_scale, max_h=args.max_h, max_w=args.max_w,
+                fix_res=args.fix_res,
+            )
+        elif args.dataset == "tanks":
+            dataset = dataset_cls(args.testpath, n_views=args.num_view,
+                                  split=args.split)
+        elif args.dataset == "eth3d":
+            dataset = dataset_cls(args.testpath, n_views=args.num_view)
+        else:
+            raise ValueError(f"unsupported test dataset {args.dataset}")
+
+        for idx in range(len(dataset)):
+            sample = dataset[idx]
+            imgs = jnp.asarray(sample["imgs"])[None]
+            projs = {
+                k: jnp.asarray(v)[None] for k, v in sample["proj_matrices"].items()
+            }
+            dv = jnp.asarray(sample["depth_values"])[None]
+
+            t0 = time.time()
+            out = forward(imgs, projs, dv)
+            jax.block_until_ready(out["depth"])
+            elapsed = time.time() - t0
+            total_time += elapsed
+            total_samples += 1
+
+            out = jax.device_get(out)
+            filename = sample["filename"]
+            cam = sample["proj_matrices"]["stage4"][0]  # ref view, full-res K
+
+            def path_for(kind, suffix):
+                p = os.path.join(args.outdir, filename.format(kind, suffix))
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                return p
+
+            write_pfm(path_for("depth_est", ".pfm"), out["depth"][0])
+            write_pfm(path_for("confidence", ".pfm"), out["confidence"][0])
+            intr4 = np.zeros((4, 4), np.float32)
+            intr4[:3, :3] = cam[1, :3, :3]
+            intr4[3, :4] = [
+                float(sample["depth_values"][0]),
+                float(
+                    sample["depth_values"][1] - sample["depth_values"][0]
+                    if len(sample["depth_values"]) > 2
+                    else 0.0
+                ),
+                0.0,
+                float(sample["depth_values"][-1]),
+            ]
+            write_cam_file(path_for("cams", "_cam.txt"), cam[0], intr4)
+            import cv2
+
+            img = (np.clip(sample["imgs"][0], 0, 1) * 255).astype(np.uint8)
+            cv2.imwrite(path_for("images", ".jpg"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            if args.save_jpg:
+                for s in range(1, 5):
+                    cv2.imwrite(
+                        path_for("depth_est", f"stage_{s}.jpg"),
+                        colormap_jet(out[f"stage{s}_depth"][0]),
+                    )
+            if idx % 10 == 0:
+                print(f"{scan} view {idx}/{len(dataset)}: {elapsed:.3f}s")
+
+    print(f"avg time: {total_time / max(total_samples, 1):.4f} s/view")
+    return total_time, total_samples
+
+
+def fuse_scan(args, scan: str):
+    """Filter + fuse one scan's saved depth maps into a point cloud."""
+    from mvster_tpu.data.common import read_cam_file
+    from mvster_tpu.data.pfm import read_pfm
+    from mvster_tpu.data.common import read_image
+
+    scan_dir = os.path.join(args.outdir, scan)
+    pair_data = read_pair_file(os.path.join(args.testpath, scan, "pair.txt"))
+
+    depths, confs, intrinsics, extrinsics, images = {}, {}, {}, {}, {}
+    view_ids = sorted({v for ref, srcs in pair_data for v in [ref] + srcs})
+    for vid in view_ids:
+        cam = read_cam_file(os.path.join(scan_dir, f"cams/{vid:08d}_cam.txt"))
+        intrinsics[vid] = cam.intrinsics
+        extrinsics[vid] = cam.extrinsics
+        depths[vid] = read_pfm(
+            os.path.join(scan_dir, f"depth_est/{vid:08d}.pfm")
+        )[0]
+        confs[vid] = read_pfm(
+            os.path.join(scan_dir, f"confidence/{vid:08d}.pfm")
+        )[0]
+        images[vid] = read_image(os.path.join(scan_dir, f"images/{vid:08d}.jpg"))
+
+    xyz, rgb, masks = fuse_scene(
+        pair_data, depths, confs, intrinsics, extrinsics, images,
+        conf_thresh=args.conf, thres_view=args.thres_view,
+    )
+    # per-view mask dumps (reference writes mask/*_photo|geo|final.png)
+    mask_dir = os.path.join(scan_dir, "mask")
+    os.makedirs(mask_dir, exist_ok=True)
+    import cv2
+
+    for vid, m in masks.items():
+        for kind in ("photo", "geo", "final"):
+            cv2.imwrite(
+                os.path.join(mask_dir, f"{vid:08d}_{kind}.png"),
+                (m[kind] * 255).astype(np.uint8),
+            )
+        print(
+            f"{scan} view {vid:02d} photo/geo/final: "
+            f"{m['photo'].mean():.3f}/{m['geo'].mean():.3f}/{m['final'].mean():.3f}"
+        )
+
+    if scan.startswith("scan"):
+        ply_name = f"mvsnet{int(scan[4:]):03d}_l3.ply"
+    else:
+        ply_name = f"{scan}.ply"
+    out_path = os.path.join(args.outdir, ply_name)
+    write_ply(out_path, xyz, rgb)
+    print(f"saved {len(xyz)} points to {out_path}")
+    return out_path
+
+
+def main(argv=None):
+    args = build_test_parser().parse_args(argv)
+    if args.use_raw_train:
+        args.max_h, args.max_w = 1200, 1600
+
+    if args.testlist != "all" and os.path.isfile(args.testlist):
+        with open(args.testlist) as f:
+            testlist = [ln.rstrip() for ln in f if ln.strip()]
+    else:
+        testlist = [args.testlist]
+
+    config = model_config_from_args(args)
+    model = MVS4Net(config)
+    variables = CheckpointManager(args.outdir).load_weights(None, args.loadckpt)
+    variables = {k: v for k, v in variables.items()}
+
+    save_depth(args, model, variables, testlist)
+
+    if args.dataset.startswith("general"):
+        for scan in testlist:
+            fuse_scan(args, scan)
+
+        if args.dtu_gt_dir:
+            from mvster_tpu.eval.dtu_metric import evaluate_dtu
+
+            scan_ids = [int(s[4:]) for s in testlist if s.startswith("scan")]
+            summary = evaluate_dtu(args.outdir, args.dtu_gt_dir, scan_ids)
+            print(json.dumps(summary, indent=2))
+            with open(os.path.join(args.outdir, "dtu_metrics.json"), "w") as f:
+                json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,6 @@ module import time (pytest imports conftest first).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +19,10 @@ if REPO_ROOT not in sys.path:
 
 import jax  # noqa: E402
 
+# NOTE: the hosted environment exports JAX_PLATFORMS=axon and the axon PJRT
+# plugin ignores env-var overrides — jax.config.update is the only reliable
+# way to pin tests to the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 

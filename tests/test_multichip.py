@@ -1,0 +1,106 @@
+"""Multi-chip SPMD tests on the virtual 8-device CPU mesh.
+
+Replaces the missing fake-backend distributed tests of the reference
+(SURVEY.md section 4): the same train step must compile and run over an
+8-device mesh, and sharded DP must be numerically equivalent to single-device
+execution (the gradient-psum invariant DDP provides implicitly).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.helpers import synthetic_sample
+from mvster_tpu.dist.mesh import make_data_mesh
+from mvster_tpu.dist.train_step import (
+    create_train_state,
+    make_train_step,
+)
+from mvster_tpu.models import MVS4Net, MVS4NetConfig
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+CFG = MVS4NetConfig(
+    group_cor=True, group_cor_dim=(4, 4, 4, 4), inverse_depth=True,
+    fpn_base_channel=4, reg_channel=4, attn_temp=2.0,
+)
+
+
+def _batch(n, seed=0):
+    s = synthetic_sample(seed, batch=n, nviews=2, h=64, w=64, with_gt=True)
+    return {
+        "imgs": jnp.asarray(s["imgs"]),
+        "proj_matrices": {k: jnp.asarray(v) for k, v in s["proj_matrices"].items()},
+        "depth_values": jnp.asarray(s["depth_values"]),
+        "depth": {k: jnp.asarray(v) for k, v in s["depth"].items()},
+        "mask": {k: jnp.asarray(v) for k, v in s["mask"].items()},
+    }
+
+
+def _init_state(batch, tx):
+    model = MVS4Net(CFG)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], train=True,
+    )
+    return model, create_train_state(variables, tx)
+
+
+def test_dp_equivalence_8dev_vs_1dev():
+    batch = _batch(8)
+    # SGD, not Adam: Adam's normalized step-1 update flips sign on ~1e-8
+    # reduction-order gradient noise (|diff| = 2*lr for near-zero moments),
+    # which says nothing about sharding correctness.  SGD updates are linear
+    # in the gradient, so tolerances directly bound the psum'd grads.
+    tx = optax.sgd(1e-3)
+    model, state = _init_state(batch, tx)
+    loss_kwargs = dict(inverse_depth=True, ot_iter=3)
+
+    # single-device
+    step1 = make_train_step(model, tx, loss_kwargs=loss_kwargs, donate=False)
+    s1, scal1, _ = step1(state, batch)
+
+    # 8-device mesh
+    mesh = make_data_mesh(8)
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P("data"))
+    state8 = jax.device_put(state, rep)
+    batch8 = jax.device_put(batch, shd)
+    step8 = make_train_step(model, tx, loss_kwargs=loss_kwargs, mesh=mesh,
+                            donate=False)
+    s8, scal8, _ = step8(state8, batch8)
+
+    np.testing.assert_allclose(
+        float(scal1["loss"]), float(scal8["loss"]), rtol=1e-5
+    )
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        # f32 reduction-order noise (8-shard tree-sums vs single-device)
+        # amplified through BatchNorm/Sinkhorn chains bounds agreement at
+        # ~1e-5 absolute after one SGD step; real sharding bugs (double
+        # psum, missing mean) show up as O(1) relative errors.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-5
+        )
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__
+
+    fn, example_args = __graft_entry__.entry()
+    out = jax.jit(fn)(*example_args)
+    depth, conf = out
+    assert np.isfinite(np.asarray(depth)).all()
