@@ -75,7 +75,9 @@ class CheckpointManager:
         with open(path, "rb") as f:
             data = f.read()
         state = serialization.msgpack_restore(data)
+        if "state" in state:  # full train-state checkpoint from tools/train.py
+            state = state["state"]
         out = {"params": state["params"]}
-        if "batch_stats" in state:
+        if state.get("batch_stats"):
             out["batch_stats"] = state["batch_stats"]
         return jax.tree_util.tree_map(np.asarray, out)

@@ -42,7 +42,8 @@ def build_torch_model(**overrides):
     with torch.no_grad():
         for reg in model.reg:
             reg.prob.weight *= 40.0
-            reg.prob.bias.normal_(0.0, 0.5)
+            if reg.prob.bias is not None:
+                reg.prob.bias.normal_(0.0, 0.5)
     return model
 
 
