@@ -100,6 +100,7 @@ def build_cost_volume(
     group_dim: int = 8,
     attn_temp: float = 2.0,
     attn_fuse_d: bool = True,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Fused multi-view cost volume with online cross-view normalization.
 
@@ -109,18 +110,33 @@ def build_cost_volume(
       ref_proj: (B, 4, 4) composed reference projection.
       src_projs: (V, B, 4, 4) composed source projections.
       depth_hypo: (B, D, H, W).
+      impl: "xla" (default, differentiable, production) or "pallas"
+        (experimental VMEM-fused warp+correlate kernel — interpret-mode only
+        until Mosaic supports multi-vreg gathers; see kernels/pallas_warp.py).
 
     Returns:
       (B, D, H, W, G or C) attention-fused correlation volume.
     """
     c = ref_feat.shape[-1]
     num_views = len(src_feats)
+    use_pallas = impl == "pallas" and group_cor
 
     weight_sum = jnp.asarray(1e-8, ref_feat.dtype)
     feats_sum = jnp.asarray(0.0, ref_feat.dtype)
     for v in range(num_views):
-        warped = warp_src_feature(src_feats[v], src_projs[v], ref_proj, depth_hypo)
-        cor = correlate(warped, ref_feat, group_cor, group_dim)
+        if use_pallas:
+            from mvster_tpu.core.geometry import plane_sweep_coords
+            from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas
+
+            x, y = plane_sweep_coords(src_projs[v], ref_proj, depth_hypo)
+            cor = warp_correlate_pallas(
+                src_feats[v], ref_feat, x, y, group_dim
+            )
+        else:
+            warped = warp_src_feature(
+                src_feats[v], src_projs[v], ref_proj, depth_hypo
+            )
+            cor = correlate(warped, ref_feat, group_cor, group_dim)
         w = view_weight(cor, c, attn_temp, attn_fuse_d)
         if attn_fuse_d:
             weight_sum = weight_sum + w  # (B, D, H, W)

@@ -1,0 +1,55 @@
+"""Pallas fused warp+correlation kernel vs the XLA path (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from tests.helpers import plane_scene_sample
+from mvster_tpu.core.geometry import compose_projection, plane_sweep_coords
+from mvster_tpu.core.hypothesis import init_inverse_range
+from mvster_tpu.kernels.cost_volume import correlate, warp_src_feature
+
+
+@pytest.mark.parametrize("group_dim", [1, 3])
+def test_pallas_warp_matches_xla(group_dim):
+    from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas
+
+    sample = plane_scene_sample(0)
+    imgs = jnp.asarray(sample["imgs"])  # (1, 3, 64, 64, 3)
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+
+    ref = imgs[:, 0]
+    src = imgs[:, 1]
+    warped = warp_src_feature(src, composed[:, 1], composed[:, 0], hypo)
+    cor_xla = correlate(warped, ref, True, group_dim)
+
+    x, y = plane_sweep_coords(composed[:, 1], composed[:, 0], hypo)
+    with pltpu.force_tpu_interpret_mode():
+        cor_pls = warp_correlate_pallas(src, ref, x, y, group_dim)
+
+    np.testing.assert_allclose(
+        np.asarray(cor_pls), np.asarray(cor_xla), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_build_cost_volume_pallas_impl_matches():
+    from mvster_tpu.kernels.cost_volume import build_cost_volume
+
+    sample = plane_scene_sample(1)
+    imgs = jnp.asarray(sample["imgs"])
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+    args = (
+        imgs[:, 0], [imgs[:, 1], imgs[:, 2]],
+        composed[:, 0], [composed[:, 1], composed[:, 2]], hypo,
+    )
+    kw = dict(group_cor=True, group_dim=3, attn_temp=2.0)
+    ref_out = build_cost_volume(*args, **kw, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        pls_out = build_cost_volume(*args, **kw, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(pls_out), np.asarray(ref_out), rtol=1e-5, atol=1e-6
+    )
