@@ -97,7 +97,8 @@ class MVS4Net(nn.Module):
     config: MVS4NetConfig
 
     @nn.compact
-    def __call__(self, imgs, proj_matrices, depth_values, train: bool = False):
+    def __call__(self, imgs, proj_matrices, depth_values, train: bool = False,
+                 return_debug: bool = False):
         cfg = self.config
         b, v, h, w, _ = imgs.shape
         k = depth_values.shape[1]
@@ -170,6 +171,11 @@ class MVS4Net(nn.Module):
             prev = self._stage(
                 feat_stage, proj_matrices[stage_key], depth_hypo, stage_idx, train
             )
+            if return_debug:
+                # intermediates for the vis_ETA-style attention dumps
+                # (utils/debug.py attention_maps); additive and jit-safe
+                prev["debug_features"] = feat_stage
+                prev["debug_proj"] = compose_projection(proj_matrices[stage_key])
             outputs[stage_key] = prev
 
         outputs.update(prev)  # final-stage fields at top level

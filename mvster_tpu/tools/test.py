@@ -33,6 +33,11 @@ from mvster_tpu.tools.cli import build_test_parser, model_config_from_args
 from mvster_tpu.train.checkpoint import CheckpointManager
 
 
+def args_group_dim(args, stage: int) -> int:
+    dims = [int(x) for x in args.group_cor_dim.split(",") if x]
+    return dims[stage - 1]
+
+
 def colormap_jet(depth: np.ndarray) -> np.ndarray:
     import cv2
 
@@ -50,7 +55,10 @@ def save_depth(args, model, variables, testlist):
 
     @jax.jit
     def forward(imgs, projs, depth_values):
-        out = model.apply(variables, imgs, projs, depth_values, train=False)
+        out = model.apply(
+            variables, imgs, projs, depth_values, train=False,
+            return_debug=args.vis_ETA,
+        )
         result = {
             "depth": out["depth"],
             "confidence": out["photometric_confidence"],
@@ -58,6 +66,10 @@ def save_depth(args, model, variables, testlist):
         for s in range(1, 5):
             result[f"stage{s}_depth"] = out[f"stage{s}"]["depth"]
             result[f"stage{s}_conf"] = out[f"stage{s}"]["photometric_confidence"]
+            if args.vis_ETA:
+                result[f"stage{s}_feat"] = out[f"stage{s}"]["debug_features"]
+                result[f"stage{s}_proj"] = out[f"stage{s}"]["debug_proj"]
+                result[f"stage{s}_hypo"] = out[f"stage{s}"]["hypo_depth"]
         return result
 
     for scan in testlist:
@@ -124,6 +136,27 @@ def save_depth(args, model, variables, testlist):
                     cv2.imwrite(
                         path_for("depth_est", f"stage_{s}.jpg"),
                         colormap_jet(out[f"stage{s}_depth"][0]),
+                    )
+            if args.vis_ETA:
+                # per-view epipolar attention volumes (reference --vis_ETA,
+                # mvs4net_utils.py:1044-1046) as .npy next to the depths
+                from mvster_tpu.utils.debug import attention_maps
+
+                for s in range(1, 5):
+                    feats = out[f"stage{s}_feat"]  # (B, V, h, w, C)
+                    projs_s = out[f"stage{s}_proj"]  # (B, V, 4, 4)
+                    nv = feats.shape[1]
+                    maps = attention_maps(
+                        jnp.asarray(feats[:, 0]),
+                        [jnp.asarray(feats[:, i]) for i in range(1, nv)],
+                        jnp.asarray(projs_s[:, 0]),
+                        [jnp.asarray(projs_s[:, i]) for i in range(1, nv)],
+                        jnp.asarray(out[f"stage{s}_hypo"]),
+                        group_dim=args_group_dim(args, s),
+                    )
+                    np.save(
+                        path_for("vis_ETA", f"_stage{s}_attn.npy"),
+                        np.asarray(maps),
                     )
             if idx % 10 == 0:
                 print(f"{scan} view {idx}/{len(dataset)}: {elapsed:.3f}s")
