@@ -82,7 +82,7 @@ def view_weight(
     channel-summed correlation, scaled 1/sqrt(C) -> (B, D, H, W).
     attn_fuse_d=False: per-pixel max of that softmax -> (B, H, W).
     """
-    score = jnp.sum(cor_feat, axis=-1)  # (B, D, H, W)
+    score = jnp.sum(cor_feat, axis=-1).astype(jnp.float32)  # (B, D, H, W)
     if attn_fuse_d:
         w = jax.nn.softmax(score / attn_temp, axis=1)
         return w / math.sqrt(feat_channels)
@@ -121,8 +121,8 @@ def build_cost_volume(
     num_views = len(src_feats)
     use_pallas = impl == "pallas" and group_cor
 
-    weight_sum = jnp.asarray(1e-8, ref_feat.dtype)
-    feats_sum = jnp.asarray(0.0, ref_feat.dtype)
+    weight_sum = jnp.asarray(1e-8, jnp.float32)
+    feats_sum = jnp.asarray(0.0, jnp.float32)
     for v in range(num_views):
         if use_pallas:
             from mvster_tpu.core.geometry import plane_sweep_coords
@@ -138,6 +138,7 @@ def build_cost_volume(
             )
             cor = correlate(warped, ref_feat, group_cor, group_dim)
         w = view_weight(cor, c, attn_temp, attn_fuse_d)
+        cor = cor.astype(jnp.float32)
         if attn_fuse_d:
             weight_sum = weight_sum + w  # (B, D, H, W)
             feats_sum = feats_sum + w[..., None] * cor

@@ -64,6 +64,9 @@ class MVS4NetConfig:
     attn_fuse_d: bool = True
     # reg3d down levels per stage (MVS4Net.py:47-48)
     reg3d_down_size: Sequence[int] = (3, 3, 2, 2)
+    # "float32" (default, bitwise parity) or "bfloat16" (MXU-native convs;
+    # norms, geometry, softmax/argmax and losses stay f32)
+    compute_dtype: str = "float32"
 
     @classmethod
     def dtu_default(cls, **overrides) -> "MVS4NetConfig":
@@ -106,9 +109,12 @@ class MVS4Net(nn.Module):
         depth_max = depth_values[:, -1]
         depth_interval = (depth_max - depth_min) / k
 
+        compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
         # --- feature extraction: fold views into batch for one big conv batch
         if cfg.arch_mode == "fpn":
-            backbone = FPN4(cfg.fpn_base_channel, dcn=cfg.dcn, name="feature")
+            backbone = FPN4(cfg.fpn_base_channel, dcn=cfg.dcn,
+                            dtype=compute_dtype, name="feature")
         elif cfg.arch_mode == "convnext":
             backbone = FPN4ConvNeXt(cfg.fpn_base_channel, dcn=cfg.dcn, name="feature")
         elif cfg.arch_mode == "convnext4":
@@ -223,15 +229,17 @@ class MVS4Net(nn.Module):
                 cfg.stage_splits[stage_idx], name=f"pos_enc_{stage_idx}"
             )(cor_feats)
 
+        compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if cfg.reg_net == "reg2d":
-            regnet = Reg2d(cfg.reg_channel, cfg.agg_type, name=f"reg_{stage_idx}")
+            regnet = Reg2d(cfg.reg_channel, cfg.agg_type, dtype=compute_dtype,
+                           name=f"reg_{stage_idx}")
         else:
             regnet = Reg3d(
                 cfg.reg_channel, cfg.reg3d_down_size[stage_idx],
                 name=f"reg_{stage_idx}",
             )
         logits = regnet(cor_feats, train)  # (B, D, H, W)
-        attn_weight = jax.nn.softmax(logits, axis=1)
+        attn_weight = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
 
         idx = jnp.argmax(attn_weight, axis=1, keepdims=True)  # (B, 1, H, W)
         depth = jnp.take_along_axis(depth_hypo, idx, axis=1)[:, 0]  # (B, H, W)

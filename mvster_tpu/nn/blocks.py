@@ -14,11 +14,14 @@ program as a backward conv — no separate deconv kernel needed.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# Norms always compute in f32 (bf16 running statistics drift); convs take the
+# configured compute dtype so the MXU runs bf16 when asked.
 
 
 class ConvBlock2d(nn.Module):
@@ -31,6 +34,7 @@ class ConvBlock2d(nn.Module):
     relu: bool = True
     gn: bool = False
     group_channel: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,6 +45,7 @@ class ConvBlock2d(nn.Module):
             strides=(self.stride, self.stride),
             padding=pad,
             use_bias=self.gn,
+            dtype=self.dtype,
             name="conv",
         )(x)
         if self.gn:
@@ -51,6 +56,7 @@ class ConvBlock2d(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                dtype=jnp.float32,
                 name="bn",
             )(x)
         if self.relu:
@@ -60,7 +66,8 @@ class ConvBlock2d(nn.Module):
 
 def _bn3d(train: bool, name: str = "bn"):
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=jnp.float32, name=name,
     )
 
 
@@ -77,6 +84,7 @@ class ConvBnReLU3D(nn.Module):
     kernel_size: Sequence[int] | int = 3
     stride: Sequence[int] | int = 1
     pad: Sequence[int] | int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -89,6 +97,7 @@ class ConvBnReLU3D(nn.Module):
             strides=s,
             padding=tuple((pi, pi) for pi in p),
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         return nn.relu(_bn3d(train)(x))
@@ -237,9 +246,11 @@ class ConvTransposeBnReLU3d(nn.Module):
     out_channels: int
     stride: Sequence[int]  # e.g. (1, 2, 2) or (2, 2, 2)
     kernel_size: Sequence[int] = (3, 3, 3)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
         k = tuple(self.kernel_size)
         s = tuple(self.stride)
         in_ch = x.shape[-1]

@@ -35,6 +35,7 @@ class FPN4(nn.Module):
     base_channels: int = 8
     gn: bool = False
     dcn: bool = False
+    dtype: Any = None  # compute dtype for convs (None = float32)
 
     @property
     def out_channels(self):
@@ -45,12 +46,14 @@ class FPN4(nn.Module):
     def __call__(self, x, train: bool = False) -> dict[str, Any]:
         b = self.base_channels
         gn = self.gn
+        dtype = self.dtype or jnp.float32
+        x = x.astype(dtype)
 
         def enc_block(channels, specs, name):
             def apply(h):
                 for i, (k, s, p) in enumerate(specs):
                     h = ConvBlock2d(
-                        channels, k, s, p, gn=gn, name=f"{name}_{i}"
+                        channels, k, s, p, gn=gn, dtype=dtype, name=f"{name}_{i}"
                     )(h, train)
                 return h
             return apply
@@ -62,20 +65,26 @@ class FPN4(nn.Module):
 
         final = 8 * b
         intra = conv3
-        out1 = nn.Conv(8 * b, (1, 1), use_bias=False, name="out1")(intra)
+        out1 = nn.Conv(8 * b, (1, 1), use_bias=False, dtype=dtype, name="out1")(intra)
 
         def up(feat):
             h, w = feat.shape[-3] * 2, feat.shape[-2] * 2
             return resize_bilinear_align_corners(feat, h, w)
 
-        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner1")(conv2)
-        out2 = nn.Conv(4 * b, (3, 3), padding=1, use_bias=False, name="out2")(intra)
+        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, dtype=dtype,
+                                    name="inner1")(conv2)
+        out2 = nn.Conv(4 * b, (3, 3), padding=1, use_bias=False, dtype=dtype,
+                       name="out2")(intra)
 
-        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner2")(conv1)
-        out3 = nn.Conv(2 * b, (3, 3), padding=1, use_bias=False, name="out3")(intra)
+        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, dtype=dtype,
+                                    name="inner2")(conv1)
+        out3 = nn.Conv(2 * b, (3, 3), padding=1, use_bias=False, dtype=dtype,
+                       name="out3")(intra)
 
-        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner3")(conv0)
-        out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False, name="out4")(intra)
+        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, dtype=dtype,
+                                    name="inner3")(conv0)
+        out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False, dtype=dtype,
+                       name="out4")(intra)
 
         if self.dcn:
             out1 = DeformConvBlock(8 * b, gn=gn, name="dcn1")(out1, train)

@@ -13,7 +13,10 @@ the depth axis folded into the batch for the (1,3,3) convs.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
+import jax.numpy as jnp
 
 from mvster_tpu.nn.blocks import AGG_BLOCKS, ConvBnReLU3D, ConvTransposeBnReLU3d
 
@@ -23,32 +26,42 @@ class Reg2d(nn.Module):
 
     base_channels: int = 8
     agg_type: str = "ConvBnReLU3D"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = self.base_channels
         agg = AGG_BLOCKS[self.agg_type]
+        dtype = self.dtype or jnp.float32
         k133 = dict(kernel_size=(1, 3, 3), pad=(0, 1, 1))
+        dkw = dict(dtype=dtype) if self.agg_type == "ConvBnReLU3D" else {}
+        x = x.astype(dtype)
 
-        conv0 = ConvBnReLU3D(b, **k133, name="conv0")(x, train)
-        c = ConvBnReLU3D(2 * b, **k133, stride=(1, 2, 2), name="conv1")(conv0, train)
-        conv2 = agg(2 * b, name="conv2")(c, train)
-        c = ConvBnReLU3D(4 * b, **k133, stride=(1, 2, 2), name="conv3")(conv2, train)
-        conv4 = agg(4 * b, name="conv4")(c, train)
-        c = ConvBnReLU3D(8 * b, **k133, stride=(1, 2, 2), name="conv5")(conv4, train)
-        x = agg(8 * b, name="conv6")(c, train)
+        conv0 = ConvBnReLU3D(b, **k133, dtype=dtype, name="conv0")(x, train)
+        c = ConvBnReLU3D(2 * b, **k133, stride=(1, 2, 2), dtype=dtype,
+                         name="conv1")(conv0, train)
+        conv2 = agg(2 * b, name="conv2", **dkw)(c, train)
+        c = ConvBnReLU3D(4 * b, **k133, stride=(1, 2, 2), dtype=dtype,
+                         name="conv3")(conv2, train)
+        conv4 = agg(4 * b, name="conv4", **dkw)(c, train)
+        c = ConvBnReLU3D(8 * b, **k133, stride=(1, 2, 2), dtype=dtype,
+                         name="conv5")(conv4, train)
+        x = agg(8 * b, name="conv6", **dkw)(c, train)
 
         x = conv4 + ConvTransposeBnReLU3d(
-            4 * b, stride=(1, 2, 2), kernel_size=(1, 3, 3), name="conv7"
+            4 * b, stride=(1, 2, 2), kernel_size=(1, 3, 3), dtype=dtype,
+            name="conv7"
         )(x, train)
         x = conv2 + ConvTransposeBnReLU3d(
-            2 * b, stride=(1, 2, 2), kernel_size=(1, 3, 3), name="conv9"
+            2 * b, stride=(1, 2, 2), kernel_size=(1, 3, 3), dtype=dtype,
+            name="conv9"
         )(x, train)
         x = conv0 + ConvTransposeBnReLU3d(
-            b, stride=(1, 2, 2), kernel_size=(1, 3, 3), name="conv11"
+            b, stride=(1, 2, 2), kernel_size=(1, 3, 3), dtype=dtype,
+            name="conv11"
         )(x, train)
         x = nn.Conv(1, (1, 1, 1), use_bias=True, name="prob")(x)
-        return x[..., 0]  # (B, D, H, W)
+        return x[..., 0].astype(jnp.float32)  # (B, D, H, W) logits in f32
 
 
 class Reg3d(nn.Module):

@@ -37,6 +37,9 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--mono", action="store_true")
     p.add_argument("--ASFF", action="store_true")
     p.add_argument("--attn_temp", type=float, default=2.0)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv compute precision (norms/softmax/loss stay f32)")
 
 
 def model_config_from_args(args) -> MVS4NetConfig:
@@ -56,6 +59,7 @@ def model_config_from_args(args) -> MVS4NetConfig:
         mono=args.mono,
         asff=args.ASFF,
         attn_temp=args.attn_temp,
+        compute_dtype=args.compute_dtype,
     )
 
 

@@ -33,7 +33,13 @@ def timeit(fn, *args, iters=10):
 
 
 def main():
-    b, v, h, w = 2, 5, 512, 640
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+    b, v, h, w = args.batch, 5, 512, 640
     s = synthetic_sample(0, batch=b, nviews=v, h=h, w=w, with_gt=True)
     batch = {
         "imgs": jnp.asarray(s["imgs"]),
@@ -42,7 +48,7 @@ def main():
         "depth": {k: jnp.asarray(p) for k, p in s["depth"].items()},
         "mask": {k: jnp.asarray(p) for k, p in s["mask"].items()},
     }
-    model = MVS4Net(MVS4NetConfig.dtu_default(mono=True))
+    model = MVS4Net(MVS4NetConfig.dtu_default(mono=True, compute_dtype=args.dtype))
     variables = jax.jit(
         lambda: model.init(
             jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
