@@ -66,7 +66,10 @@ def make_train_step(
                 imgs, projs, depth_values, train=True,
                 mutable=["batch_stats"],
             )
-            loss, aux = loss_fn(outputs, depth_gt_ms, mask_ms, **loss_kwargs)
+            loss, aux = loss_fn(
+                outputs, depth_gt_ms, mask_ms,
+                depth_values=depth_values, **loss_kwargs,
+            )
             return loss, (aux, mutated["batch_stats"], outputs)
 
         (loss, (aux, new_stats, outputs)), grads = jax.value_and_grad(
@@ -90,6 +93,9 @@ def make_train_step(
             scalars[f"s{i}_d_loss"] = aux["stage_l1_loss"][i]
             scalars[f"s{i}_c_loss"] = aux["stage_ot_loss"][i]
             scalars[f"s{i}_range_err_ratio"] = aux["range_err_ratio"][i]
+        for k, v in aux.items():  # blend_loss extras: epe / err1 / err3
+            if not isinstance(v, list):
+                scalars[k] = v
         scalars.update(
             depth_metrics(
                 outputs["depth"],
@@ -138,7 +144,8 @@ def make_eval_step(model, loss_fn: Callable = mvs4net_loss,
             train=False,
         )
         loss, aux = loss_fn(
-            outputs, batch["depth"], batch["mask"], **loss_kwargs
+            outputs, batch["depth"], batch["mask"],
+            depth_values=batch["depth_values"], **loss_kwargs,
         )
         final_stage = f"stage{len(aux['stage_ot_loss'])}"
         scalars = {"loss": loss}
@@ -146,6 +153,9 @@ def make_eval_step(model, loss_fn: Callable = mvs4net_loss,
             scalars[f"s{i}_d_loss"] = aux["stage_l1_loss"][i]
             scalars[f"s{i}_c_loss"] = aux["stage_ot_loss"][i]
             scalars[f"s{i}_range_err_ratio"] = aux["range_err_ratio"][i]
+        for k, v in aux.items():
+            if not isinstance(v, list):
+                scalars[k] = v
         scalars.update(
             depth_metrics(
                 outputs["depth"],

@@ -65,6 +65,7 @@ def mvs4net_loss(
     ot_continous: bool = False,
     mono: bool = False,
     ot_backend: str = "xla",
+    depth_values=None,  # accepted for interface parity with blend_loss
 ):
     """Total loss + per-stage diagnostics.
 
@@ -114,8 +115,9 @@ def blend_loss(
     depth_gt_ms: dict[str, jnp.ndarray],
     mask_ms: dict[str, jnp.ndarray],
     *,
-    depth_min: jnp.ndarray,
-    depth_max: jnp.ndarray,
+    depth_values: jnp.ndarray = None,
+    depth_min: jnp.ndarray = None,
+    depth_max: jnp.ndarray = None,
     stage_lw=(1.0, 1.0, 1.0, 1.0),
     l1ot_lw=(0.0, 1.0),
     inverse_depth: bool = False,
@@ -127,8 +129,14 @@ def blend_loss(
     """BlendedMVS fine-tune variant: adds depth-normalized EPE / err1 / err3.
 
     depth_min / depth_max: (B,) per-sample scene range used to normalize the
-    final-stage depth into the 128-bin scale (Blend_loss, MVS4Net.py:180-181).
+    final-stage depth into the 128-bin scale (Blend_loss, MVS4Net.py:180-181);
+    derived from depth_values ([:,0] / [:,-1]) when not given explicitly (the
+    train-step interface passes the batch's depth_values through).
     """
+    if depth_min is None:
+        depth_min = depth_values[:, 0]
+    if depth_max is None:
+        depth_max = depth_values[:, -1]
     total, aux = mvs4net_loss(
         outputs, depth_gt_ms, mask_ms,
         stage_lw=stage_lw, l1ot_lw=l1ot_lw, inverse_depth=inverse_depth,

@@ -252,3 +252,36 @@ def load_torch_checkpoint(path: str) -> dict:
     sd = state.get("model", state)
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
     return convert_state_dict(sd)
+
+
+def main(argv=None):
+    """CLI: convert a reference torch .ckpt into our msgpack weight file.
+
+    python -m mvster_tpu.tools.convert_torch_ckpt in.ckpt out.msgpack
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description="torch ckpt -> flax msgpack")
+    ap.add_argument("input", help="reference .ckpt (torch.save dict with 'model')")
+    ap.add_argument("output", help="output .msgpack path")
+    args = ap.parse_args(argv)
+
+    variables = load_torch_checkpoint(args.input)
+    from flax import serialization
+
+    with open(args.output, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    n = sum(v.size for v in _iter_leaves(variables))
+    print(f"wrote {args.output}: {n} parameters")
+
+
+def _iter_leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _iter_leaves(v)
+        else:
+            yield v
+
+
+if __name__ == "__main__":
+    main()

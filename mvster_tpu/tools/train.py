@@ -156,6 +156,26 @@ def main(argv=None):
         f"training: {len(train_ds)} samples, {steps_per_epoch} steps/epoch, "
         f"{n_devices} devices, {process_count} processes"
     )
+
+    if args.mode == "profile":
+        # the reference declares --mode profile but raises NotImplementedError
+        # (train_mvs4.py:428); here it captures a real device trace of a few
+        # train steps, viewable in TensorBoard's profile plugin
+        from mvster_tpu.train.loop import device_batch
+        from mvster_tpu.utils.profiling import trace
+
+        batch_iter = iter(train_loader)
+        warm = device_batch(next(batch_iter), sharded)
+        state, _, _ = train_step(state, warm)  # compile outside the trace
+        with trace(os.path.join(args.logdir, "profile")):
+            for _ in range(3):
+                state, scalars, _ = train_step(
+                    state, device_batch(next(batch_iter), sharded)
+                )
+            jax.block_until_ready(scalars["loss"])
+        print(f"profile trace written to {args.logdir}/profile")
+        return
+
     for epoch in range(start_epoch, args.epochs):
         state = train_epoch(
             state, train_step, train_loader, epoch, logger,
