@@ -57,7 +57,7 @@ def save_depth(args, model, variables, testlist):
     def forward(imgs, projs, depth_values):
         out = model.apply(
             variables, imgs, projs, depth_values, train=False,
-            return_debug=args.vis_ETA,
+            return_debug=args.vis_ETA or args.vis_mono,
         )
         result = {
             "depth": out["depth"],
@@ -66,7 +66,7 @@ def save_depth(args, model, variables, testlist):
         for s in range(1, 5):
             result[f"stage{s}_depth"] = out[f"stage{s}"]["depth"]
             result[f"stage{s}_conf"] = out[f"stage{s}"]["photometric_confidence"]
-            if args.vis_ETA:
+            if args.vis_ETA or args.vis_mono:
                 result[f"stage{s}_feat"] = out[f"stage{s}"]["debug_features"]
                 result[f"stage{s}_proj"] = out[f"stage{s}"]["debug_proj"]
                 result[f"stage{s}_hypo"] = out[f"stage{s}"]["hypo_depth"]
@@ -137,6 +137,13 @@ def save_depth(args, model, variables, testlist):
                         path_for("depth_est", f"stage_{s}.jpg"),
                         colormap_jet(out[f"stage{s}_depth"][0]),
                     )
+            if args.vis_mono:
+                # reference --vis_mono dumps the last view's stage-4 feature
+                # map (MVS4Net.py:70-75)
+                np.save(
+                    path_for("vis_mono", "_feat_stage4.npy"),
+                    out["stage4_feat"][:, -1],
+                )
             if args.vis_ETA:
                 # per-view epipolar attention volumes (reference --vis_ETA,
                 # mvs4net_utils.py:1044-1046) as .npy next to the depths
