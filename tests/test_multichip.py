@@ -91,6 +91,29 @@ def test_dp_equivalence_8dev_vs_1dev():
         )
 
 
+def test_spatial_sharding_matches_single_device():
+    """SP analog: image-H sharded over a (2, 4) mesh == unsharded output."""
+    from mvster_tpu.dist.spatial import make_2d_mesh, make_spatial_infer_step
+
+    model = MVS4Net(CFG)
+    s = synthetic_sample(0, batch=2, nviews=2, h=128, w=64)
+    imgs = jnp.asarray(s["imgs"])
+    projs = {k: jnp.asarray(v) for k, v in s["proj_matrices"].items()}
+    dv = jnp.asarray(s["depth_values"])
+    variables = model.init(jax.random.PRNGKey(0), imgs, projs, dv, train=False)
+
+    ref = jax.jit(
+        lambda v, i, p, d: model.apply(v, i, p, d, train=False)["depth"]
+    )(variables, imgs, projs, dv)
+
+    mesh = make_2d_mesh(2, 4)
+    step = make_spatial_infer_step(model, mesh)
+    depth, conf = step(variables, imgs, projs, dv)
+    np.testing.assert_allclose(
+        np.asarray(depth), np.asarray(ref), rtol=1e-3, atol=1e-2
+    )
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__
 
