@@ -119,6 +119,8 @@ def build_test_parser() -> argparse.ArgumentParser:
     p.add_argument("--outdir", default="./outputs")
     p.add_argument("--interval_scale", type=float, default=1.06)
     p.add_argument("--num_view", type=int, default=5)
+    p.add_argument("--eval_batch", type=int, default=1,
+                   help="reference views per forward (serving throughput)")
     p.add_argument("--max_h", type=int, default=864)
     p.add_argument("--max_w", type=int, default=1152)
     p.add_argument("--fix_res", action="store_true")

@@ -72,6 +72,8 @@ def save_depth(args, model, variables, testlist):
                 result[f"stage{s}_hypo"] = out[f"stage{s}"]["hypo_depth"]
         return result
 
+    eval_batch = max(1, getattr(args, "eval_batch", 1))
+
     for scan in testlist:
         if args.dataset.startswith("general"):
             dataset = dataset_cls(
@@ -87,89 +89,102 @@ def save_depth(args, model, variables, testlist):
         else:
             raise ValueError(f"unsupported test dataset {args.dataset}")
 
-        for idx in range(len(dataset)):
-            sample = dataset[idx]
-            imgs = jnp.asarray(sample["imgs"])[None]
+        # view-level batching: samples within a scan share a pinned
+        # resolution, so eval_batch reference views run per forward (the last
+        # chunk is padded to keep one compiled shape; padding sliced off)
+        for start in range(0, len(dataset), eval_batch):
+            chunk = [
+                dataset[i]
+                for i in range(start, min(start + eval_batch, len(dataset)))
+            ]
+            real = len(chunk)
+            while len(chunk) < eval_batch:
+                chunk.append(chunk[-1])
+            imgs = jnp.asarray(np.stack([c["imgs"] for c in chunk]))
             projs = {
-                k: jnp.asarray(v)[None] for k, v in sample["proj_matrices"].items()
+                k: jnp.asarray(np.stack([c["proj_matrices"][k] for c in chunk]))
+                for k in chunk[0]["proj_matrices"]
             }
-            dv = jnp.asarray(sample["depth_values"])[None]
+            dv = jnp.asarray(np.stack([c["depth_values"] for c in chunk]))
 
             t0 = time.time()
-            out = forward(imgs, projs, dv)
-            jax.block_until_ready(out["depth"])
+            batch_out = forward(imgs, projs, dv)
+            jax.block_until_ready(batch_out["depth"])
             elapsed = time.time() - t0
             total_time += elapsed
-            total_samples += 1
+            total_samples += real
 
-            out = jax.device_get(out)
-            filename = sample["filename"]
-            cam = sample["proj_matrices"]["stage4"][0]  # ref view, full-res K
-
-            def path_for(kind, suffix):
-                p = os.path.join(args.outdir, filename.format(kind, suffix))
-                os.makedirs(os.path.dirname(p), exist_ok=True)
-                return p
-
-            write_pfm(path_for("depth_est", ".pfm"), out["depth"][0])
-            write_pfm(path_for("confidence", ".pfm"), out["confidence"][0])
-            intr4 = np.zeros((4, 4), np.float32)
-            intr4[:3, :3] = cam[1, :3, :3]
-            intr4[3, :4] = [
-                float(sample["depth_values"][0]),
-                float(
-                    sample["depth_values"][1] - sample["depth_values"][0]
-                    if len(sample["depth_values"]) > 2
-                    else 0.0
-                ),
-                0.0,
-                float(sample["depth_values"][-1]),
-            ]
-            write_cam_file(path_for("cams", "_cam.txt"), cam[0], intr4)
-            import cv2
-
-            img = (np.clip(sample["imgs"][0], 0, 1) * 255).astype(np.uint8)
-            cv2.imwrite(path_for("images", ".jpg"),
-                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
-            if args.save_jpg:
-                for s in range(1, 5):
-                    cv2.imwrite(
-                        path_for("depth_est", f"stage_{s}.jpg"),
-                        colormap_jet(out[f"stage{s}_depth"][0]),
-                    )
-            if args.vis_mono:
-                # reference --vis_mono dumps the last view's stage-4 feature
-                # map (MVS4Net.py:70-75)
-                np.save(
-                    path_for("vis_mono", "_feat_stage4.npy"),
-                    out["stage4_feat"][:, -1],
+            batch_out = jax.device_get(batch_out)
+            for bi in range(real):
+                _write_view_outputs(
+                    args, chunk[bi],
+                    {k: v[bi : bi + 1] for k, v in batch_out.items()},
+                    start + bi, len(dataset),
                 )
-            if args.vis_ETA:
-                # per-view epipolar attention volumes (reference --vis_ETA,
-                # mvs4net_utils.py:1044-1046) as .npy next to the depths
-                from mvster_tpu.utils.debug import attention_maps
-
-                for s in range(1, 5):
-                    feats = out[f"stage{s}_feat"]  # (B, V, h, w, C)
-                    projs_s = out[f"stage{s}_proj"]  # (B, V, 4, 4)
-                    nv = feats.shape[1]
-                    maps = attention_maps(
-                        jnp.asarray(feats[:, 0]),
-                        [jnp.asarray(feats[:, i]) for i in range(1, nv)],
-                        jnp.asarray(projs_s[:, 0]),
-                        [jnp.asarray(projs_s[:, i]) for i in range(1, nv)],
-                        jnp.asarray(out[f"stage{s}_hypo"]),
-                        group_dim=args_group_dim(args, s),
-                    )
-                    np.save(
-                        path_for("vis_ETA", f"_stage{s}_attn.npy"),
-                        np.asarray(maps),
-                    )
-            if idx % 10 == 0:
-                print(f"{scan} view {idx}/{len(dataset)}: {elapsed:.3f}s")
-
     print(f"avg time: {total_time / max(total_samples, 1):.4f} s/view")
     return total_time, total_samples
+
+
+
+def _write_view_outputs(args, sample, out, idx, total):
+    """Write one reference view's artifacts (PFM/cams/jpg/vis dumps)."""
+    import cv2
+
+    filename = sample["filename"]
+    cam = sample["proj_matrices"]["stage4"][0]  # ref view, full-res K
+
+    def path_for(kind, suffix):
+        p = os.path.join(args.outdir, filename.format(kind, suffix))
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return p
+
+    write_pfm(path_for("depth_est", ".pfm"), out["depth"][0])
+    write_pfm(path_for("confidence", ".pfm"), out["confidence"][0])
+    intr4 = np.zeros((4, 4), np.float32)
+    intr4[:3, :3] = cam[1, :3, :3]
+    intr4[3, :4] = [
+        float(sample["depth_values"][0]),
+        float(
+            sample["depth_values"][1] - sample["depth_values"][0]
+            if len(sample["depth_values"]) > 2
+            else 0.0
+        ),
+        0.0,
+        float(sample["depth_values"][-1]),
+    ]
+    write_cam_file(path_for("cams", "_cam.txt"), cam[0], intr4)
+    img = (np.clip(sample["imgs"][0], 0, 1) * 255).astype(np.uint8)
+    cv2.imwrite(path_for("images", ".jpg"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    if args.save_jpg:
+        for s in range(1, 5):
+            cv2.imwrite(
+                path_for("depth_est", f"stage_{s}.jpg"),
+                colormap_jet(out[f"stage{s}_depth"][0]),
+            )
+    if args.vis_mono:
+        # reference --vis_mono dumps the last view's stage-4 feature map
+        # (MVS4Net.py:70-75)
+        np.save(path_for("vis_mono", "_feat_stage4.npy"), out["stage4_feat"][:, -1])
+    if args.vis_ETA:
+        # per-view epipolar attention volumes (reference --vis_ETA,
+        # mvs4net_utils.py:1044-1046) as .npy next to the depths
+        from mvster_tpu.utils.debug import attention_maps
+
+        for s in range(1, 5):
+            feats = out[f"stage{s}_feat"]  # (1, V, h, w, C)
+            projs_s = out[f"stage{s}_proj"]  # (1, V, 4, 4)
+            nv = feats.shape[1]
+            maps = attention_maps(
+                jnp.asarray(feats[:, 0]),
+                [jnp.asarray(feats[:, i]) for i in range(1, nv)],
+                jnp.asarray(projs_s[:, 0]),
+                [jnp.asarray(projs_s[:, i]) for i in range(1, nv)],
+                jnp.asarray(out[f"stage{s}_hypo"]),
+                group_dim=args_group_dim(args, s),
+            )
+            np.save(path_for("vis_ETA", f"_stage{s}_attn.npy"), np.asarray(maps))
+    if idx % 10 == 0:
+        print(f"view {idx}/{total} written")
 
 
 def fuse_scan(args, scan: str):
