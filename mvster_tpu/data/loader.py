@@ -41,7 +41,8 @@ class MVSLoader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
-                 num_shards=1, shard_index=0, prefetch=2, seed=0):
+                 num_shards=1, shard_index=0, prefetch=2, seed=0,
+                 num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +51,7 @@ class MVSLoader:
         self.shard_index = shard_index
         self.prefetch = prefetch
         self.seed = seed
+        self.num_workers = num_workers  # >0: decode samples in worker processes
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -79,6 +81,21 @@ class MVSLoader:
         limit = (
             len(idx) - len(idx) % self.batch_size if self.drop_last else len(idx)
         )
+        if self.num_workers > 0:
+            # Process-pool decode (PIL/cv2 release little GIL; training hosts
+            # have many cores).  The dataset object is pickled to the workers
+            # once; per-sample RNG state lives in the dataset, so workers use
+            # the index-seeded path for determinism.
+            import concurrent.futures as cf
+
+            with cf.ProcessPoolExecutor(self.num_workers) as pool:
+                for start in range(0, limit, self.batch_size):
+                    chunk = idx[start : start + self.batch_size]
+                    samples = list(
+                        pool.map(self.dataset.__getitem__, [int(i) for i in chunk])
+                    )
+                    yield _stack_tree(samples)
+            return
         for start in range(0, limit, self.batch_size):
             chunk = idx[start : start + self.batch_size]
             yield _stack_tree([self.dataset[int(i)] for i in chunk])

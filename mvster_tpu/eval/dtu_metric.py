@@ -245,3 +245,34 @@ def evaluate_dtu(
     summary = aggregate_stats(per_scan)
     summary["per_scan"] = per_scan
     return summary
+
+
+def main(argv=None):
+    """CLI: score fused PLYs against the DTU ground truth.
+
+    python -m mvster_tpu.eval.dtu_metric <ply_dir> <gt_dir> 1 4 9 ...
+    (gt_dir = the SampleSet "MVS Data" directory; scan ids default to the
+    22-scan DTU evaluation set, BaseEvalMain_web.m:28)
+    """
+    import argparse
+    import json
+
+    default_scans = [1, 4, 9, 10, 11, 12, 13, 15, 23, 24, 29, 32, 33, 34, 48,
+                     49, 62, 75, 77, 110, 114, 118]
+    ap = argparse.ArgumentParser(description="DTU point-cloud benchmark")
+    ap.add_argument("ply_dir")
+    ap.add_argument("gt_dir")
+    ap.add_argument("scans", nargs="*", type=int, default=None)
+    ap.add_argument("--method", default="mvsnet")
+    ap.add_argument("--light", default="l3")
+    args = ap.parse_args(argv)
+
+    summary = evaluate_dtu(
+        args.ply_dir, args.gt_dir, args.scans or default_scans,
+        method=args.method, light=args.light,
+    )
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

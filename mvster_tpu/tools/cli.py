@@ -106,6 +106,8 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--ot_eps", type=float, default=1)
     p.add_argument("--rt", action="store_true")
     p.add_argument("--use_raw_train", action="store_true")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="decode samples in N worker processes (0 = in-process)")
     add_model_args(p)
     return p
 

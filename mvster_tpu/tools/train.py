@@ -90,6 +90,7 @@ def main(argv=None):
     train_loader = MVSLoader(
         train_ds, per_process_batch, shuffle=True, drop_last=True,
         num_shards=process_count, shard_index=process_index, seed=args.seed,
+        num_workers=args.num_workers,
     )
     val_loader = MVSLoader(
         val_ds, per_process_batch, shuffle=False, drop_last=True,
