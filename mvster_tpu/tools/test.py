@@ -242,6 +242,9 @@ def fuse_scan(args, scan: str):
 
 def main(argv=None):
     args = build_test_parser().parse_args(argv)
+    from mvster_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.use_raw_train:
         args.max_h, args.max_w = 1200, 1600
 

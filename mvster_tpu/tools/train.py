@@ -70,6 +70,9 @@ def build_datasets(args):
 
 def main(argv=None):
     args = build_train_parser().parse_args(argv)
+    from mvster_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     process_index, process_count = maybe_initialize_distributed()
     is_main = process_index == 0
 
