@@ -244,6 +244,143 @@ def _na_dcn(prefix, body, value):
     return None
 
 
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax pytree -> torch state dict (train here, deploy with
+# the reference's tooling).  Inverse transforms of the forward mapping.
+# ---------------------------------------------------------------------------
+
+def _inv_conv2d(w):  # (kh, kw, I, O) -> (O, I, kh, kw)
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+def _inv_conv3d(w):  # (kd, kh, kw, I, O) -> (O, I, kd, kh, kw)
+    return np.transpose(w, (4, 3, 0, 1, 2))
+
+
+def _inv_deconv3d(w):  # flipped (kd, kh, kw, I, O) -> (I, O, kd, kh, kw)
+    return np.transpose(w[::-1, ::-1, ::-1], (3, 4, 0, 1, 2)).copy()
+
+
+_INV_BN = {"scale": "weight", "bias": "bias", "mean": "running_mean",
+           "var": "running_var"}
+
+
+def _walk(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _walk(v, prefix + (k,))
+        else:
+            yield prefix + (k,), np.asarray(v)
+
+
+def export_state_dict(variables: Mapping[str, Any]) -> dict:
+    """flax {"params", "batch_stats"} -> torch-layout state dict (numpy).
+
+    Inverse of convert_state_dict; round-trip tested in
+    tests/test_converter_roundtrip.py.  BatchNorm num_batches_tracked leaves
+    are synthesized (zeros) so torch load_state_dict(strict=True) accepts it.
+    """
+    out: dict[str, np.ndarray] = {}
+    bn_seen: set[str] = set()
+
+    def put_norm(tkey_prefix, leaf, value):
+        out[f"{tkey_prefix}.{_INV_BN[leaf]}"] = value
+        bn_seen.add(tkey_prefix)
+
+    for collection in ("params", "batch_stats"):
+        for path, value in _walk(variables.get(collection, {})):
+            head = path[0]
+            # ---- feature extractor ----
+            if head == "feature":
+                name = path[1]
+                m = re.fullmatch(r"conv(\d)_(\d)", name)
+                if m:
+                    tprefix = f"feature.conv{m.group(1)}.{m.group(2)}"
+                    if path[2] == "conv":
+                        leaf = "weight" if path[3] == "kernel" else "bias"
+                        val = _inv_conv2d(value) if path[3] == "kernel" else value
+                        out[f"{tprefix}.conv.{leaf}"] = val
+                    else:  # bn / gn
+                        put_norm(f"{tprefix}.{path[2]}", path[3], value)
+                    continue
+                if re.fullmatch(r"(inner|out)\d", name):
+                    leaf = "weight" if path[2] == "kernel" else "bias"
+                    val = _inv_conv2d(value) if path[2] == "kernel" else value
+                    out[f"feature.{name}.{leaf}"] = val
+                    continue
+                raise KeyError(f"unhandled feature path {path}")
+            # ---- regularizers ----
+            if head.startswith("reg_"):
+                stage = head[4:]
+                name = path[1]
+                if name == "prob":
+                    leaf = "weight" if path[2] == "kernel" else "bias"
+                    val = _inv_conv3d(value) if path[2] == "kernel" else value
+                    out[f"reg.{stage}.prob.{leaf}"] = val
+                elif path[2] == "kernel":  # deconv sequential
+                    out[f"reg.{stage}.{name}.0.weight"] = _inv_deconv3d(value)
+                elif path[2] == "bn" and name in ("conv7", "conv9", "conv11"):
+                    put_norm(f"reg.{stage}.{name}.1", path[3], value)
+                elif path[2] == "conv":
+                    out[f"reg.{stage}.{name}.conv.weight"] = _inv_conv3d(value)
+                elif path[2] == "bn":
+                    put_norm(f"reg.{stage}.{name}.bn", path[3], value)
+                elif path[2] == "linear_agg":
+                    idx = {"fc0": "0", "fc1": "2"}[path[3]]
+                    leaf = "weight" if path[4] == "kernel" else "bias"
+                    val = _linear(value) if path[4] == "kernel" else value
+                    out[f"reg.{stage}.{name}.linear_agg.{idx}.{leaf}"] = val
+                elif path[2] in ("pixel_conv", "spatial_conv"):
+                    leaf = "weight" if path[3] == "kernel" else "bias"
+                    inv = _inv_conv2d if path[2] == "pixel_conv" else _inv_conv3d
+                    val = inv(value) if path[3] == "kernel" else value
+                    out[f"reg.{stage}.{name}.{path[2]}.{leaf}"] = val
+                else:
+                    raise KeyError(f"unhandled reg path {path}")
+                continue
+            # ---- mono decoder ----
+            if head == "mono_depth_decoder":
+                name = path[1]
+                m = re.fullmatch(r"convblock(\d)", name)
+                if m:
+                    tprefix = f"mono_depth_decoder.convblocks.{m.group(1)}"
+                    if path[2] == "conv":
+                        out[f"{tprefix}.conv.weight"] = _inv_conv2d(value)
+                    else:
+                        put_norm(f"{tprefix}.bn", path[3], value)
+                    continue
+                m = re.fullmatch(r"conv3x3_(\d)", name)
+                if m:
+                    leaf = "weight" if path[2] == "kernel" else "bias"
+                    val = _inv_conv2d(value) if path[2] == "kernel" else value
+                    out[f"mono_depth_decoder.conv3x3.{m.group(1)}.{leaf}"] = val
+                    continue
+                raise KeyError(f"unhandled mono path {path}")
+            # ---- ASFF ----
+            if head.startswith("asff_"):
+                level = head[5:]
+                name = path[1]
+                if name == "weight_levels":
+                    leaf = "weight" if path[2] == "kernel" else "bias"
+                    val = _inv_conv2d(value) if path[2] == "kernel" else value
+                    out[f"asff.{level}.weight_levels.{leaf}"] = val
+                elif path[2] == "conv":
+                    leaf = "weight" if path[3] == "kernel" else "bias"
+                    val = _inv_conv2d(value) if path[3] == "kernel" else value
+                    out[f"asff.{level}.{name}.conv.{leaf}"] = val
+                else:
+                    put_norm(f"asff.{level}.{name}.{path[2]}", path[3], value)
+                continue
+            raise KeyError(f"unhandled path {path}")
+
+    for tprefix in bn_seen:
+        if f"{tprefix}.running_mean" in out:
+            out[f"{tprefix}.num_batches_tracked"] = np.zeros((), np.int64)
+    return out
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference .ckpt file and convert its model weights."""
     import torch
