@@ -51,7 +51,7 @@ def colormap_jet(depth: np.ndarray) -> np.ndarray:
 def save_depth(args, model, variables, testlist):
     """Inference over all scenes; returns total forward time + sample count."""
     dataset_cls = find_dataset_def(args.dataset)
-    total_time, total_samples = 0.0, 0
+    total_time, total_samples = 0.0, 0  # mutated by drain() below
 
     @jax.jit
     def forward(imgs, projs, depth_values):
@@ -89,10 +89,13 @@ def save_depth(args, model, variables, testlist):
         else:
             raise ValueError(f"unsupported test dataset {args.dataset}")
 
-        # view-level batching: samples within a scan share a pinned
-        # resolution, so eval_batch reference views run per forward (the last
-        # chunk is padded to keep one compiled shape; padding sliced off)
-        for start in range(0, len(dataset), eval_batch):
+        # view-level batching + dispatch-ahead pipeline: samples within a
+        # scan share a pinned resolution, so eval_batch reference views run
+        # per forward (trailing chunk padded to keep one compiled shape).
+        # The next chunk's forward is dispatched (async) before the current
+        # chunk's artifacts are written, overlapping host IO with device
+        # compute.
+        def dispatch(start):
             chunk = [
                 dataset[i]
                 for i in range(start, min(start + eval_batch, len(dataset)))
@@ -106,21 +109,32 @@ def save_depth(args, model, variables, testlist):
                 for k in chunk[0]["proj_matrices"]
             }
             dv = jnp.asarray(np.stack([c["depth_values"] for c in chunk]))
-
             t0 = time.time()
-            batch_out = forward(imgs, projs, dv)
-            jax.block_until_ready(batch_out["depth"])
-            elapsed = time.time() - t0
-            total_time += elapsed
-            total_samples += real
+            out = forward(imgs, projs, dv)  # async dispatch
+            return chunk, real, start, out, t0
 
-            batch_out = jax.device_get(batch_out)
+        def drain(pending):
+            nonlocal total_time, total_samples
+            chunk, real, start, out, t0 = pending
+            jax.block_until_ready(out["depth"])
+            total_time += time.time() - t0
+            total_samples += real
+            out = jax.device_get(out)
             for bi in range(real):
                 _write_view_outputs(
                     args, chunk[bi],
-                    {k: v[bi : bi + 1] for k, v in batch_out.items()},
+                    {k: v[bi : bi + 1] for k, v in out.items()},
                     start + bi, len(dataset),
                 )
+
+        pending = None
+        for start in range(0, len(dataset), eval_batch):
+            current = dispatch(start)
+            if pending is not None:
+                drain(pending)
+            pending = current
+        if pending is not None:
+            drain(pending)
     print(f"avg time: {total_time / max(total_samples, 1):.4f} s/view")
     return total_time, total_samples
 
