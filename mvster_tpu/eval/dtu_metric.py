@@ -145,8 +145,11 @@ def points_in_obs_mask(pts: np.ndarray, obs_mask: np.ndarray, bb: np.ndarray,
     """Voxel-mask membership test (PointCompareMain.m:32-41).
 
     MATLAB: Qv = round((pts - BB(1,:)) / Res + 1), 1-based inclusive bounds.
+    MATLAB round() is half-away-from-zero, numpy's is half-to-even; use
+    floor(x + 0.5) (values here are positive) to match voxel assignment on
+    exact .5 boundaries.
     """
-    qv = np.round((pts - bb[0]) / res + 1).astype(np.int64)  # 1-based
+    qv = np.floor((pts - bb[0]) / res + 1.5).astype(np.int64)  # 1-based
     inside = (
         (qv[:, 0] > 0) & (qv[:, 0] <= obs_mask.shape[0])
         & (qv[:, 1] > 0) & (qv[:, 1] <= obs_mask.shape[1])
