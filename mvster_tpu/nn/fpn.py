@@ -95,14 +95,6 @@ class FPN4(nn.Module):
         return {"stage1": out1, "stage2": out2, "stage3": out3, "stage4": out4}
 
 
-class ChannelsLastLayerNorm(nn.Module):
-    """LayerNorm over the trailing channel axis (eps 1e-6, ConvNeXt-style)."""
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.LayerNorm(epsilon=1e-6, name="ln")(x)
-
-
 class ConvNeXtBlock(nn.Module):
     """Strided depthwise-7x7 ConvNeXt downsampling block (2x channels).
 
