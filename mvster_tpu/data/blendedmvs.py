@@ -9,7 +9,6 @@ source sampling + U(0.8, 1.25) metric scale.
 from __future__ import annotations
 
 import os
-import random as pyrandom
 
 import numpy as np
 
@@ -18,6 +17,7 @@ from mvster_tpu.data.common import (
     read_cam_file,
     read_image,
     read_pair_file,
+    sample_rng,
 )
 from mvster_tpu.data.pfm import read_pfm
 from mvster_tpu.data.registry import register_dataset
@@ -34,9 +34,14 @@ class BlendedMVSDataset:
         self.nviews = nviews
         self.img_wh = img_wh
         self.robust_train = robust_train
-        self.rng = pyrandom.Random(seed)
+        self.seed = seed
+        self.epoch = 0
         self.scale_factors: dict[str, float] = {}
         self.metas = self._build_metas(listfile)
+
+    def set_epoch(self, epoch: int):
+        """Advance the per-sample augmentation RNG stream (see sample_rng)."""
+        self.epoch = epoch
 
     def _build_metas(self, listfile):
         with open(listfile) as f:
@@ -66,9 +71,10 @@ class BlendedMVSDataset:
     def __getitem__(self, idx):
         scan, ref_view, src_views = self.metas[idx]
         if self.robust_train:
-            chosen = self.rng.sample(range(len(src_views)), self.nviews - 1)
+            rng = sample_rng(self.seed, self.epoch, idx)
+            chosen = rng.sample(range(len(src_views)), self.nviews - 1)
             view_ids = [ref_view] + [src_views[i] for i in chosen]
-            scale = self.rng.uniform(0.8, 1.25)
+            scale = rng.uniform(0.8, 1.25)
         else:
             view_ids = [ref_view] + src_views[: self.nviews - 1]
             scale = 1.0

@@ -61,6 +61,18 @@ def read_pair_file(path: str) -> list[tuple[int, list[int]]]:
     return pairs
 
 
+def sample_rng(seed, epoch: int, idx: int) -> pyrandom.Random:
+    """Per-sample augmentation RNG, deterministic in (seed, epoch, idx).
+
+    Deriving the RNG inside __getitem__ (rather than advancing a dataset-held
+    Random) makes augmentation draws identical whether samples are decoded
+    in-process or in loader pool workers, and distinct across epochs even
+    though the pickled dataset state never flows back from workers.
+    """
+    base = 0 if seed is None else int(seed)
+    return pyrandom.Random((base * 1_000_003 + int(epoch)) * 1_000_003 + int(idx))
+
+
 def read_image(path: str) -> np.ndarray:
     """(H, W, 3) float32 in [0, 1]."""
     return np.asarray(Image.open(path), dtype=np.float32) / 255.0

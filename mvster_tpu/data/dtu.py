@@ -11,8 +11,6 @@ U(0.8, 1.25) applied to translations, GT depth, and the depth range.
 from __future__ import annotations
 
 import os
-import random as pyrandom
-
 import numpy as np
 
 from mvster_tpu.data.common import (
@@ -22,6 +20,7 @@ from mvster_tpu.data.common import (
     read_cam_file,
     read_image,
     read_pair_file,
+    sample_rng,
     stage_projections,
     stage_pyramid,
 )
@@ -42,8 +41,13 @@ class DTUDataset:
         self.interval_scale = interval_scale
         self.rt = rt
         self.use_raw_train = use_raw_train
-        self.rng = pyrandom.Random(seed)
+        self.seed = seed
+        self.epoch = 0
         self.metas = self._build_metas(listfile)
+
+    def set_epoch(self, epoch: int):
+        """Advance the per-sample augmentation RNG stream (see sample_rng)."""
+        self.epoch = epoch
 
     def _build_metas(self, listfile):
         with open(listfile) as f:
@@ -70,11 +74,12 @@ class DTUDataset:
 
     def __getitem__(self, idx):
         scan, light, ref_view, src_views = self.metas[idx]
+        rng = sample_rng(self.seed, self.epoch, idx)
 
         if self.mode == "train" and self.rt:
-            chosen = self.rng.sample(range(len(src_views)), self.nviews - 1)
+            chosen = rng.sample(range(len(src_views)), self.nviews - 1)
             view_ids = [ref_view] + [src_views[i] for i in chosen]
-            scale = self.rng.uniform(0.8, 1.25)
+            scale = rng.uniform(0.8, 1.25)
         else:
             view_ids = [ref_view] + src_views[: self.nviews - 1]
             scale = 1.0
@@ -95,7 +100,7 @@ class DTUDataset:
             cam_path = os.path.join(self.datapath, f"Cameras/train/{vid:08d}_cam.txt")
 
             if self.mode == "train":
-                img = color_jitter(img_path, self.rng)
+                img = color_jitter(img_path, rng)
             else:
                 img = read_image(img_path)
             if self.use_raw_train:

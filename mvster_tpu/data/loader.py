@@ -56,6 +56,11 @@ class MVSLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        # Datasets derive per-sample augmentation RNG from (seed, epoch, idx)
+        # (data/common.sample_rng), so the epoch must reach them before the
+        # dataset is pickled into pool workers.
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self):
         n = len(self.dataset)
@@ -84,8 +89,10 @@ class MVSLoader:
         if self.num_workers > 0:
             # Process-pool decode (PIL/cv2 release little GIL; training hosts
             # have many cores).  The dataset object is pickled to the workers
-            # once; per-sample RNG state lives in the dataset, so workers use
-            # the index-seeded path for determinism.
+            # once per epoch; augmentation RNG is derived per sample from
+            # (seed, epoch, idx) inside __getitem__, so worker decode is
+            # bit-identical to in-process decode and never repeats across
+            # epochs or workers.
             import concurrent.futures as cf
 
             with cf.ProcessPoolExecutor(self.num_workers) as pool:

@@ -49,12 +49,21 @@ def make_spatial_infer_step(model, mesh: Mesh):
             jax.tree_util.tree_map(lambda _: dp, proj_matrices), dp,
         )
 
+    # jit wrappers are cached per proj-matrix tree structure: constructing a
+    # fresh jax.jit every call would pay retrace/cache-lookup overhead on the
+    # hot inference path (round-1 review finding).
+    compiled_cache: dict = {}
+
     def step(variables, imgs, proj_matrices, depth_values):
-        compiled = jax.jit(
-            fwd,
-            in_shardings=in_shardings(proj_matrices),
-            out_shardings=(out_shard, out_shard),
-        )
+        key = tuple(sorted(proj_matrices))
+        compiled = compiled_cache.get(key)
+        if compiled is None:
+            compiled = jax.jit(
+                fwd,
+                in_shardings=in_shardings(proj_matrices),
+                out_shardings=(out_shard, out_shard),
+            )
+            compiled_cache[key] = compiled
         return compiled(
             jax.device_put(variables, rep),
             jax.device_put(imgs, img_shard),

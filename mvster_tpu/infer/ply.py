@@ -36,6 +36,30 @@ def write_ply(path: str, xyz: np.ndarray, rgb: np.ndarray | None = None) -> None
         rec.tofile(f)
 
 
+def camera_pointcloud(depth: np.ndarray, intrinsics: np.ndarray,
+                      rgb: np.ndarray | None = None):
+    """Unproject a depth map to a camera-frame colored point cloud.
+
+    Vectorized replacement for the reference's per-pixel python loop
+    (utils.py generate_pointcloud / test_mvs4.py:263-264 'ply_local' dumps):
+    x = (u - cx) / fx * d, y = (v - cy) / fy * d, z = d; pixels with
+    non-positive depth are dropped.  Returns (xyz (N,3), rgb (N,3) or None).
+    """
+    h, w = depth.shape
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    valid = depth > 0
+    d = depth[valid]
+    xyz = np.stack(
+        [(u[valid] - cx) / fx * d, (v[valid] - cy) / fy * d, d], axis=-1
+    ).astype(np.float32)
+    colors = None
+    if rgb is not None:
+        colors = rgb[valid]
+    return xyz, colors
+
+
 def read_ply(path: str) -> tuple[np.ndarray, np.ndarray | None]:
     """Minimal reader for binary/ascii PLY vertex clouds -> (xyz, rgb|None)."""
     with open(path, "rb") as f:

@@ -73,6 +73,10 @@ def save_depth(args, model, variables, testlist):
         return result
 
     eval_batch = max(1, getattr(args, "eval_batch", 1))
+    # fix_res pins the WHOLE multi-scan run to the first scan's resolution
+    # (the reference's module-global s_h/s_w, general_eval4.py:7,135-153);
+    # per-scan datasets thread the pinned size through this variable.
+    carried_fixed_wh = None
 
     for scan in testlist:
         if args.dataset.startswith("general"):
@@ -81,6 +85,8 @@ def save_depth(args, model, variables, testlist):
                 args.interval_scale, max_h=args.max_h, max_w=args.max_w,
                 fix_res=args.fix_res,
             )
+            if args.fix_res and carried_fixed_wh is not None:
+                dataset.fixed_wh = carried_fixed_wh
         elif args.dataset == "tanks":
             dataset = dataset_cls(args.testpath, n_views=args.num_view,
                                   split=args.split)
@@ -135,6 +141,8 @@ def save_depth(args, model, variables, testlist):
             pending = current
         if pending is not None:
             drain(pending)
+        if args.dataset.startswith("general") and args.fix_res:
+            carried_fixed_wh = dataset.fixed_wh
     print(f"avg time: {total_time / max(total_samples, 1):.4f} s/view")
     return total_time, total_samples
 
@@ -169,6 +177,13 @@ def _write_view_outputs(args, sample, out, idx, total):
     write_cam_file(path_for("cams", "_cam.txt"), cam[0], intr4)
     img = (np.clip(sample["imgs"][0], 0, 1) * 255).astype(np.uint8)
     cv2.imwrite(path_for("images", ".jpg"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    if idx % args.save_freq == 0:
+        # local (camera-frame) colored cloud every save_freq views, mirroring
+        # the reference's ply_local dumps (test_mvs4.py:263-264)
+        from mvster_tpu.infer.ply import camera_pointcloud, write_ply
+
+        xyz, rgb = camera_pointcloud(out["depth"][0], cam[1, :3, :3], img)
+        write_ply(path_for("ply_local", ".ply"), xyz, rgb)
     if args.save_jpg:
         for s in range(1, 5):
             cv2.imwrite(
@@ -208,7 +223,12 @@ def fuse_scan(args, scan: str):
     from mvster_tpu.data.common import read_image
 
     scan_dir = os.path.join(args.outdir, scan)
-    pair_data = read_pair_file(os.path.join(args.testpath, scan, "pair.txt"))
+    if args.dataset == "tanks":
+        # tanks scans live under the split dir (datasets/tanks.py layout)
+        pair_path = os.path.join(args.testpath, args.split, scan, "pair.txt")
+    else:  # general_eval / eth3d: testpath/<scan>/pair.txt
+        pair_path = os.path.join(args.testpath, scan, "pair.txt")
+    pair_data = read_pair_file(pair_path)
 
     depths, confs, intrinsics, extrinsics, images = {}, {}, {}, {}, {}
     view_ids = sorted({v for ref, srcs in pair_data for v in [ref] + srcs})
@@ -254,11 +274,34 @@ def fuse_scan(args, scan: str):
     return out_path
 
 
+def fusion_scan_list(args, testlist):
+    """Scans to filter+fuse, mirroring the reference's pcd_filter over any
+    testlist (test_mvs4.py:424-455).  tanks/eth3d run whole-split inference
+    (testlist 'all'), so their fusion targets come from the split lists."""
+    if args.dataset == "tanks":
+        from mvster_tpu.data.tanks import ADVANCED, INTERMEDIATE
+
+        return INTERMEDIATE if args.split == "intermediate" else ADVANCED
+    if args.dataset == "eth3d":
+        from mvster_tpu.data.eth3d import TEST_SCANS
+
+        return TEST_SCANS
+    return testlist
+
+
 def main(argv=None):
     args = build_test_parser().parse_args(argv)
     from mvster_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.filter_method != "normal":
+        # the reference declares --filter_method gipuma but ships no
+        # implementation (test_mvs4.py:60); fail loudly instead of silently
+        # running the normal filter (round-1 advisor finding)
+        raise NotImplementedError(
+            f"--filter_method {args.filter_method!r}: only 'normal' is "
+            "implemented (the reference's gipuma path is unimplemented too)"
+        )
     if args.use_raw_train:
         args.max_h, args.max_w = 1200, 1600
 
@@ -275,10 +318,10 @@ def main(argv=None):
 
     save_depth(args, model, variables, testlist)
 
-    if args.dataset.startswith("general"):
-        for scan in testlist:
-            fuse_scan(args, scan)
+    for scan in fusion_scan_list(args, testlist):
+        fuse_scan(args, scan)
 
+    if args.dataset.startswith("general"):
         if args.dtu_gt_dir:
             from mvster_tpu.eval.dtu_metric import evaluate_dtu
 

@@ -15,17 +15,18 @@ OUTDIR=./outputs/dtu/$EXP
 CKPT=${CKPT:-$(ls -t "$LOGDIR"/model_*.msgpack 2>/dev/null | head -1)}
 mkdir -p "$LOGDIR"
 
-EXTRA=""
+# array (not a string): word-splitting-safe for paths with spaces
+EXTRA=()
 if [ "$SIZE" = "raw" ]; then
-  EXTRA="--use_raw_train"
+  EXTRA+=(--use_raw_train)
 fi
 # set DTU_GT_DIR to the SampleSet "MVS Data" dir to also run the metric
 if [ -n "${DTU_GT_DIR:-}" ]; then
-  EXTRA="$EXTRA --dtu_gt_dir \"$DTU_GT_DIR\""
+  EXTRA+=(--dtu_gt_dir "$DTU_GT_DIR")
 fi
 
 python -m mvster_tpu.tools.test \
   --dataset general_eval --testpath "$DTU_TESTPATH" --testlist $TESTLIST \
   --loadckpt "$CKPT" --interval_scale 1.06 --outdir "$OUTDIR" \
   --thres_view 4 --conf 0.5 --group_cor --attn_temp 2 --inverse_depth \
-  $EXTRA "$@" | tee -a "$LOGDIR/log_test.txt"
+  ${EXTRA[@]+"${EXTRA[@]}"} "$@" | tee -a "$LOGDIR/log_test.txt"

@@ -164,6 +164,40 @@ def test_loader_sharding_covers_dataset(dtu_tree):
     assert b0["imgs"].shape == (2, 3, 128, 160, 3)
 
 
+def _half_prepare(hr):  # module-level: must pickle into worker processes
+    return nearest_resize(hr, hr.shape[0] // 2, hr.shape[1] // 2)
+
+
+def test_aug_rng_worker_equivalence_and_epoch_streams(dtu_tree):
+    """Augmentation draws are per-(seed, epoch, idx): identical between
+    in-process and pool-worker decode, distinct across epochs (the round-1
+    advisor found workers replaying one pickled RNG state every epoch)."""
+    ds_cls = find_dataset_def("dtu")
+
+    def make():
+        ds = ds_cls(dtu_tree, f"{dtu_tree}/train.txt", "train", 3, 1.06,
+                    rt=True, seed=5)
+        ds._prepare_map = _half_prepare
+        return ds
+
+    inproc = MVSLoader(make(), 2, prefetch=0)
+    workers = MVSLoader(make(), 2, prefetch=0, num_workers=2)
+    inproc.set_epoch(1)
+    workers.set_epoch(1)
+    b_in = list(inproc)
+    b_wk = list(workers)
+    assert len(b_in) == len(b_wk)
+    for a, b in zip(b_in, b_wk):
+        np.testing.assert_array_equal(a["imgs"], b["imgs"])
+        np.testing.assert_array_equal(a["depth_values"], b["depth_values"])
+
+    # a different epoch must produce different robust-train scale draws
+    later = MVSLoader(make(), 2, prefetch=0)
+    later.set_epoch(2)
+    b2 = next(iter(later))
+    assert not np.array_equal(b_in[0]["depth_values"], b2["depth_values"])
+
+
 def test_loader_prefetch_matches_sync(dtu_tree):
     ds_cls = find_dataset_def("dtu")
     ds = ds_cls(dtu_tree, f"{dtu_tree}/train.txt", "val", 3, 1.06)
