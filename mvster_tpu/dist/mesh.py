@@ -36,9 +36,27 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
 
 
 def maybe_initialize_distributed():
-    """Multi-host init (no-op single-process); reference: dist.init_process_group."""
+    """Multi-host init (no-op single-process); reference: dist.init_process_group.
+
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID mirror the
+    reference's WORLD_SIZE / RANK env rendezvous (train_mvs4.py:321-326).
+    They are passed explicitly because jax 0.9 has no generic env-var cluster
+    plugin (auto-detection covers SLURM/k8s/MPI/TPU-pod only); on real TPU
+    pods with megascale, the no-arg auto-detect path is used instead.
+    Exercised for real by tests/test_multiprocess.py: two coordinator-
+    connected CPU processes run the sharded train step in lockstep.
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        num = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(num) if num is not None else None,
+            process_id=int(pid) if pid is not None else None,
+        )
+    elif "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
     return jax.process_index(), jax.process_count()

@@ -161,6 +161,45 @@ def points_in_obs_mask(pts: np.ndarray, obs_mask: np.ndarray, bb: np.ndarray,
     return result
 
 
+def _error_colors(dists: np.ndarray, included: np.ndarray,
+                  thresh: float = 10.0) -> np.ndarray:
+    """BaseEval2Obj_web.m color ramp: included points shade white->red with
+    distance 0->thresh mm; excluded points shade blue->green."""
+    alpha = np.minimum(dists, thresh)[:, None] / thresh
+    red_white = np.array([1, 0, 0]) * alpha + np.array([1, 1, 1]) * (1 - alpha)
+    green_blue = np.array([0, 1, 0]) * alpha + np.array([0, 0, 1]) * (1 - alpha)
+    return np.where(included[:, None], red_white, green_blue).astype(np.float32)
+
+
+def _write_obj_cloud(path: str, pts: np.ndarray, colors: np.ndarray) -> None:
+    """'v x y z r g b' per point — the BaseEval2Obj_web.m OBJ format."""
+    with open(path, "w") as f:
+        for (x, y, z), (r, g, b) in zip(pts, colors):
+            f.write(f"v {x:f} {y:f} {z:f} {r:f} {g:f} {b:f}\n")
+
+
+def write_error_clouds(out_dir: str, scan: int, data: np.ndarray,
+                       d_data: np.ndarray, in_mask: np.ndarray,
+                       stl: np.ndarray, d_stl: np.ndarray,
+                       above: np.ndarray, method: str = "mvsnet") -> None:
+    """Colored error-cloud visualization (BaseEval2Obj_web.m:1-43).
+
+    Writes {method}2Stl_{scan}.obj (fused points colored by accuracy
+    distance) and Stl2{method}_{scan}.obj (GT points colored by completeness
+    distance); points excluded from the stats (outside ObsMask / below the
+    ground plane) use the blue->green ramp.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    _write_obj_cloud(
+        os.path.join(out_dir, f"{method}2Stl_{scan}.obj"),
+        data, _error_colors(d_data, in_mask),
+    )
+    _write_obj_cloud(
+        os.path.join(out_dir, f"Stl2{method}_{scan}.obj"),
+        stl, _error_colors(d_stl, above),
+    )
+
+
 def evaluate_scan(
     fused_pts: np.ndarray,
     stl_pts: np.ndarray,
@@ -172,6 +211,9 @@ def evaluate_scan(
     max_dist: float = 60.0,
     outlier_dist: float = 20.0,
     seed: int = 0,
+    error_obj_dir: str | None = None,
+    scan_id: int = 0,
+    method: str = "mvsnet",
 ) -> dict:
     """Full single-scan evaluation; returns acc/comp stats.
 
@@ -190,6 +232,12 @@ def evaluate_scan(
         + ground_plane[2] * stl_pts[:, 2]
         + ground_plane[3]
     ) > 0
+
+    if error_obj_dir:
+        write_error_clouds(
+            error_obj_dir, scan_id, data, d_data, in_mask, stl_pts, d_stl,
+            above, method=method,
+        )
 
     facc = d_data[in_mask]
     facc = facc[facc < outlier_dist]
@@ -242,7 +290,10 @@ def evaluate_dtu(
         plane = load_ground_plane(
             os.path.join(gt_dir, "ObsMask", f"Plane{scan}.mat")
         )
-        stats = evaluate_scan(fused, stl, obs_mask, bb, res, plane, **kwargs)
+        stats = evaluate_scan(
+            fused, stl, obs_mask, bb, res, plane, scan_id=scan,
+            method=method, **kwargs,
+        )
         stats["scan"] = scan
         per_scan.append(stats)
     summary = aggregate_stats(per_scan)
@@ -268,11 +319,15 @@ def main(argv=None):
     ap.add_argument("scans", nargs="*", type=int, default=None)
     ap.add_argument("--method", default="mvsnet")
     ap.add_argument("--light", default="l3")
+    ap.add_argument("--error_obj_dir", default=None,
+                    help="also write BaseEval2Obj-style colored error-cloud "
+                         ".obj files per scan into this directory")
     args = ap.parse_args(argv)
 
     summary = evaluate_dtu(
         args.ply_dir, args.gt_dir, args.scans or default_scans,
         method=args.method, light=args.light,
+        error_obj_dir=args.error_obj_dir,
     )
     print(json.dumps(summary, indent=2))
 

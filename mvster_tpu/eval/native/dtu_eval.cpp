@@ -1,11 +1,16 @@
 // Native point-cloud metric kernels for the DTU benchmark.
 //
 // Replaces the MATLAB KDTreeSearcher pipeline (reference
-// evaluations/dtu/reducePts_haa.m, MaxDistCP.m) with a uniform-grid spatial
-// hash: greedy stochastic min-distance thinning and nearest-neighbor
+// evaluations/dtu/reducePts_haa.m, MaxDistCP.m) with a SPARSE uniform-grid
+// spatial hash: greedy stochastic min-distance thinning and nearest-neighbor
 // distances with expanding-shell search.  Exposed as a plain C ABI for
-// ctypes; single-threaded but O(n) with small constants (the MATLAB version
-// builds per-cell KD trees; at DTU densities a grid probe is faster).
+// ctypes; single-threaded but O(n log n) with small constants.
+//
+// The grid must be sparse: at the DTU operating point (0.2 mm cells over a
+// ~1 m scan extent) a dense cell array is ~1e11 cells and std::bad_allocs —
+// only occupied cells may cost memory.  Cells live in one array of
+// (packed-coord key, point index) pairs sorted by key; a cell lookup is a
+// binary search, a build is one sort.
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libdtu_eval.so dtu_eval.cpp
 
@@ -18,21 +23,18 @@
 
 namespace {
 
-struct Grid {
+// 21 bits per axis (2M cells/axis) packed into one 63-bit key; cell sizes
+// are clamped below so quantized coordinates always fit.
+constexpr int kAxisBits = 21;
+constexpr int64_t kAxisMax = ((int64_t)1 << kAxisBits) - 1;
+
+struct SparseGrid {
   float origin[3];
   float cell;
   int64_t dims[3];
-  std::vector<int64_t> cell_start;  // CSR offsets, size prod(dims)+1
-  std::vector<int64_t> point_idx;   // point indices sorted by cell
-
-  int64_t cell_of(const float* p) const {
-    int64_t c[3];
-    for (int k = 0; k < 3; ++k) {
-      int64_t v = (int64_t)std::floor((p[k] - origin[k]) / cell);
-      c[k] = std::min(std::max(v, (int64_t)0), dims[k] - 1);
-    }
-    return (c[0] * dims[1] + c[1]) * dims[2] + c[2];
-  }
+  // (cell key, point index), sorted by key: all points of one occupied cell
+  // are a contiguous run located by binary search
+  std::vector<std::pair<uint64_t, int64_t>> entries;
 
   void coords_of(const float* p, int64_t* c) const {
     for (int k = 0; k < 3; ++k) {
@@ -40,11 +42,29 @@ struct Grid {
       c[k] = std::min(std::max(v, (int64_t)0), dims[k] - 1);
     }
   }
+
+  static uint64_t key_of(const int64_t* c) {
+    return ((uint64_t)c[0] << (2 * kAxisBits)) |
+           ((uint64_t)c[1] << kAxisBits) | (uint64_t)c[2];
+  }
+
+  // [begin, end) range of entries for the cell at quantized coords c
+  void cell_range(const int64_t* c, int64_t* begin, int64_t* end) const {
+    uint64_t key = key_of(c);
+    auto lo = std::lower_bound(
+        entries.begin(), entries.end(), key,
+        [](const std::pair<uint64_t, int64_t>& e, uint64_t k) {
+          return e.first < k;
+        });
+    auto hi = lo;
+    while (hi != entries.end() && hi->first == key) ++hi;
+    *begin = lo - entries.begin();
+    *end = hi - entries.begin();
+  }
 };
 
-Grid build_grid(const float* pts, int64_t n, float cell) {
-  Grid g;
-  g.cell = cell;
+SparseGrid build_grid(const float* pts, int64_t n, float cell) {
+  SparseGrid g;
   float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
   for (int64_t i = 0; i < n; ++i) {
     for (int k = 0; k < 3; ++k) {
@@ -52,23 +72,26 @@ Grid build_grid(const float* pts, int64_t n, float cell) {
       hi[k] = std::max(hi[k], pts[3 * i + k]);
     }
   }
+  // grow the cell if the extent would overflow the packed-key axis range
+  // (27-neighborhood correctness only needs cell >= the query radius, which
+  // callers guarantee; larger cells stay correct, just scan more points)
+  for (int k = 0; k < 3; ++k) {
+    double extent = (double)hi[k] - lo[k];
+    cell = std::max(cell, (float)(extent / (double)kAxisMax) * 1.0001f);
+  }
+  g.cell = cell;
   for (int k = 0; k < 3; ++k) {
     g.origin[k] = lo[k];
     double extent = (double)hi[k] - lo[k];
     g.dims[k] = std::max((int64_t)1, (int64_t)std::floor(extent / cell) + 1);
   }
-  int64_t ncells = g.dims[0] * g.dims[1] * g.dims[2];
-  std::vector<int64_t> counts(ncells + 1, 0);
-  std::vector<int64_t> cell_id(n);
+  g.entries.resize(n);
   for (int64_t i = 0; i < n; ++i) {
-    cell_id[i] = g.cell_of(pts + 3 * i);
-    counts[cell_id[i] + 1]++;
+    int64_t c[3];
+    g.coords_of(pts + 3 * i, c);
+    g.entries[i] = {SparseGrid::key_of(c), i};
   }
-  for (int64_t c = 0; c < ncells; ++c) counts[c + 1] += counts[c];
-  g.cell_start = counts;
-  g.point_idx.resize(n);
-  std::vector<int64_t> cursor(g.cell_start.begin(), g.cell_start.end() - 1);
-  for (int64_t i = 0; i < n; ++i) g.point_idx[cursor[cell_id[i]]++] = i;
+  std::sort(g.entries.begin(), g.entries.end());
   return g;
 }
 
@@ -87,7 +110,7 @@ extern "C" {
 void reduce_points(const float* pts, int64_t n, float dst, uint64_t seed,
                    uint8_t* keep) {
   if (n == 0) return;
-  Grid g = build_grid(pts, n, dst);
+  SparseGrid g = build_grid(pts, n, dst);
   std::vector<int64_t> order(n);
   for (int64_t i = 0; i < n; ++i) order[i] = i;
   std::mt19937_64 rng(seed);
@@ -110,9 +133,10 @@ void reduce_points(const float* pts, int64_t n, float dst, uint64_t seed,
         for (int64_t dz = -1; dz <= 1; ++dz) {
           int64_t z = c[2] + dz;
           if (z < 0 || z >= g.dims[2]) continue;
-          int64_t cid = (x * g.dims[1] + y) * g.dims[2] + z;
-          for (int64_t s = g.cell_start[cid]; s < g.cell_start[cid + 1]; ++s) {
-            int64_t j = g.point_idx[s];
+          int64_t nc[3] = {x, y, z}, s, e;
+          g.cell_range(nc, &s, &e);
+          for (; s < e; ++s) {
+            int64_t j = g.entries[s].second;
             if (active[j] && dist2(p, pts + 3 * j) <= dst2) active[j] = 0;
           }
         }
@@ -153,7 +177,8 @@ void nn_distances(const float* from, int64_t n_from, const float* to,
   float cell = (float)std::cbrt(vol * 8.0 / (double)n_to);
   cell = std::max(cell, accurate_radius / 16.0f);
   cell = std::min(std::max(cell, 1e-3f), max_dist);
-  Grid g = build_grid(to, n_to, cell);
+  SparseGrid g = build_grid(to, n_to, cell);
+  cell = g.cell;  // may have grown to fit the packed-key axis range
 
   const float max2 = max_dist * max_dist;
   const float acc2 = accurate_radius * accurate_radius;
@@ -182,10 +207,10 @@ void nn_distances(const float* from, int64_t n_from, const float* to,
           for (int64_t dz = -shell; dz <= shell; dz += step) {
             int64_t z = c[2] + dz;
             if (z < 0 || z >= g.dims[2]) continue;
-            int64_t cid = (x * g.dims[1] + y) * g.dims[2] + z;
-            for (int64_t s = g.cell_start[cid]; s < g.cell_start[cid + 1];
-                 ++s) {
-              float d2 = dist2(p, to + 3 * g.point_idx[s]);
+            int64_t nc[3] = {x, y, z}, s, e;
+            g.cell_range(nc, &s, &e);
+            for (; s < e; ++s) {
+              float d2 = dist2(p, to + 3 * g.entries[s].second);
               if (d2 < best2) best2 = d2;
             }
           }

@@ -120,6 +120,12 @@ def build_cost_volume(
     c = ref_feat.shape[-1]
     num_views = len(src_feats)
     use_pallas = impl == "pallas" and group_cor
+    if use_pallas:
+        from mvster_tpu.kernels.pallas_warp import pallas_warp_supported
+
+        # VMEM guard: the kernel keeps whole per-view feature maps resident;
+        # oversized stages fall back to the XLA formulation (same numerics)
+        use_pallas = pallas_warp_supported(src_feats[0])
 
     weight_sum = jnp.asarray(1e-8, jnp.float32)
     feats_sum = jnp.asarray(0.0, jnp.float32)

@@ -95,8 +95,11 @@ def main(argv=None):
         num_shards=process_count, shard_index=process_index, seed=args.seed,
         num_workers=args.num_workers,
     )
+    # drop_last=False like the reference's val loader (train_mvs4.py:141-176);
+    # the trailing partial batch is padded with zero-mask duplicates inside
+    # evaluate() so jit keeps one compiled shape (train/loop.pad_eval_batch)
     val_loader = MVSLoader(
-        val_ds, per_process_batch, shuffle=False, drop_last=True,
+        val_ds, per_process_batch, shuffle=False, drop_last=False,
         num_shards=process_count, shard_index=process_index,
     )
     steps_per_epoch = len(train_loader)

@@ -64,6 +64,37 @@ def train_epoch(
     return state
 
 
+def pad_eval_batch(batch, target: int):
+    """Pad a trailing partial batch to `target` samples with zero-mask dups.
+
+    Keeps one compiled shape (and mesh divisibility) while evaluating every
+    val sample like the reference's drop_last=False loader
+    (train_mvs4.py:141-176): padding duplicates the last sample but zeroes
+    its GT masks, so every masked-mean loss/metric in the eval step ignores
+    it exactly (losses are pixel-level masked means; depth metrics exclude
+    zero-valid images — see train/metrics._per_image_masked_mean).
+    """
+    n = next(v.shape[0] for v in batch.values() if isinstance(v, np.ndarray))
+    if n == target:
+        return batch
+
+    def pad(x):
+        if isinstance(x, np.ndarray) and x.ndim >= 1 and x.shape[0] == n:
+            return np.concatenate(
+                [x, np.repeat(x[-1:], target - n, axis=0)], axis=0
+            )
+        return x
+
+    padded = jax.tree_util.tree_map(pad, dict(batch))
+    padded["mask"] = {
+        k: np.concatenate(
+            [np.asarray(v[:n]), np.zeros((target - n, *v.shape[1:]), v.dtype)]
+        )
+        for k, v in batch["mask"].items()
+    }
+    return padded
+
+
 def evaluate(
     state,
     eval_step: Callable,
@@ -76,6 +107,7 @@ def evaluate(
 ) -> dict:
     meter = DictAverageMeter()
     for batch in loader:
+        batch = pad_eval_batch(batch, loader.batch_size)
         scalars = eval_step(
             state.params, state.batch_stats, device_batch(batch, batch_sharding)
         )

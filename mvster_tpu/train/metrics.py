@@ -12,11 +12,19 @@ import jax.numpy as jnp
 
 
 def _per_image_masked_mean(values, mask):
+    """Mean over images of per-image masked means.
+
+    Images with no valid pixels are excluded from the outer mean (rather
+    than contributing 0) — this is what lets eval pad a trailing partial
+    batch with zero-mask duplicates and still report the exact same metric
+    the reference computes on the unpadded batch (train_mvs4.py:141-176
+    evaluates with drop_last=False).
+    """
     m = mask.astype(jnp.float32)
-    per = jnp.sum(values * m, axis=(1, 2)) / jnp.maximum(
-        jnp.sum(m, axis=(1, 2)), 1.0
-    )
-    return jnp.mean(per)
+    msum = jnp.sum(m, axis=(1, 2))
+    per = jnp.sum(values * m, axis=(1, 2)) / jnp.maximum(msum, 1.0)
+    w = (msum > 0).astype(jnp.float32)
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def thres_metric(depth_est, depth_gt, mask, thres: float):

@@ -1,6 +1,19 @@
-"""Benchmark: Pallas fused warp+group-correlation vs the XLA path on TPU.
+"""Benchmark: the warp+group-correlation hot op, XLA vs Pallas, vs speed of light.
 
-Per-stage shapes of DTU-mid inference (batch 1), one source view.
+Per-stage shapes of DTU-mid (512x640) and DTU-raw (1152x1600) inference
+(batch 1, one source view) — the op behind the reference's homo_warping +
+group correlation (mvs4net_utils.py:13-59, 1036-1040).
+
+For each shape, reports:
+  * XLA fused gather path latency (kernels/cost_volume.py — production)
+  * the HBM speed-of-light bound for the op's irreducible traffic
+    (read src + ref once, write the (D, H, W, G) volume once; the
+    (D, H, W, C) warped intermediate counts only if materialized)
+  * the Pallas kernel, where Mosaic can compile it (see
+    kernels/pallas_warp.py STATUS — currently interpret-only; this bench
+    records the compile failure mode on real hardware)
+
+The committed results table lives in kernels/pallas_warp.py's docstring.
 """
 
 import sys
@@ -12,16 +25,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mvster_tpu.core.geometry import plane_sweep_coords
 from mvster_tpu.kernels.cost_volume import correlate, warp_src_feature
 from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas
 
-STAGES = {
-    "stage1": (64, 80, 64, 8, 8),    # H, W, C, D, G
-    "stage2": (128, 160, 32, 8, 8),
-    "stage3": (256, 320, 16, 4, 4),
-    "stage4": (512, 640, 8, 4, 4),
+# H, W, C, D, G per cascade stage
+MID_STAGES = {
+    "mid-stage1": (64, 80, 64, 8, 8),
+    "mid-stage2": (128, 160, 32, 8, 8),
+    "mid-stage3": (256, 320, 16, 4, 4),
+    "mid-stage4": (512, 640, 8, 4, 4),
 }
+RAW_STAGES = {
+    "raw-stage1": (144, 200, 64, 8, 8),
+    "raw-stage2": (288, 400, 32, 8, 8),
+    "raw-stage3": (576, 800, 16, 4, 4),
+    "raw-stage4": (1152, 1600, 8, 4, 4),
+}
+
+# v5e HBM ~ 819 GB/s; override with --bw <GB/s> for other chips
+HBM_GBPS = 819.0
 
 
 def timeit(fn, *args, iters=30):
@@ -33,49 +55,65 @@ def timeit(fn, *args, iters=30):
         out = fn(*args)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return float(np.median(ts))
+
+
+def sol_us(h, w, c, d, g, fused: bool) -> float:
+    """HBM speed-of-light for the op in microseconds (f32).
+
+    fused: src+ref read once, cor volume written once.
+    unfused: adds a round trip of the (D, H, W, C) warped intermediate.
+    """
+    n = h * w
+    traffic = 4 * (2 * c * n + d * n * g)  # src+ref in, cor out
+    if not fused:
+        traffic += 2 * 4 * d * n * c  # warped write + read
+    return traffic / (HBM_GBPS * 1e9) * 1e6
 
 
 def main():
     rng = np.random.default_rng(0)
-    for name, (h, w, c, d, g) in STAGES.items():
+    rows = []
+    for name, (h, w, c, d, g) in {**MID_STAGES, **RAW_STAGES}.items():
         src = jnp.asarray(rng.normal(size=(1, h, w, c)).astype(np.float32))
         ref = jnp.asarray(rng.normal(size=(1, h, w, c)).astype(np.float32))
-        # plausible coords: identity plus small per-depth shift
         gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         x = np.stack([gx + 3.0 * k for k in range(d)])[None].astype(np.float32)
         y = np.stack([gy + 0.5 * k for k in range(d)])[None].astype(np.float32)
         x, y = jnp.asarray(x), jnp.asarray(y)
 
-        xla_fn = jax.jit(
-            lambda s, r, xx, yy: correlate(
-                _warp(s, xx, yy), r, True, g
-            )
-        )
-
-        def _warp(s, xx, yy):
+        def _xla(s, r, xx, yy):
             from mvster_tpu.core.sampling import grid_sample_zeros
 
-            return grid_sample_zeros(s, xx, yy)
+            return correlate(grid_sample_zeros(s, xx, yy), r, True, g)
+
+        xla_fn = jax.jit(_xla)
+        a = xla_fn(src, ref, x, y)
+        t_x = timeit(xla_fn, src, ref, x, y) * 1e6
+        sol_f = sol_us(h, w, c, d, g, fused=True)
+        sol_u = sol_us(h, w, c, d, g, fused=False)
 
         pls_fn = jax.jit(
             lambda s, r, xx, yy: warp_correlate_pallas(s, r, xx, yy, g)
         )
-        a = xla_fn(src, ref, x, y)
-        t_x = timeit(xla_fn, src, ref, x, y)
         try:
             b = np.asarray(pls_fn(src, ref, x, y))
             err = np.abs(np.asarray(a) - b).max()
-            t_p = timeit(pls_fn, src, ref, x, y)
-            print(
-                f"{name} ({h}x{w} C{c} D{d}): xla {t_x * 1e3:7.3f} ms | "
-                f"pallas {t_p * 1e3:7.3f} ms ({t_x / t_p:4.2f}x) | max-err {err:.2e}"
-            )
+            t_p = timeit(pls_fn, src, ref, x, y) * 1e6
+            pallas = f"{t_p:8.1f} us (max-err {err:.2e})"
         except Exception as e:
-            print(
-                f"{name} ({h}x{w} C{c} D{d}): xla {t_x * 1e3:7.3f} ms | "
-                f"pallas unavailable ({type(e).__name__}: {str(e)[:90]})"
-            )
+            pallas = f"unavailable ({type(e).__name__}: {str(e)[:70]})"
+
+        rows.append((name, h, w, c, d, t_x, sol_f, sol_u, pallas))
+        print(
+            f"{name:11s} ({h:4d}x{w:4d} C{c:2d} D{d}): xla {t_x:8.1f} us | "
+            f"SoL fused {sol_f:6.1f} us / unfused {sol_u:6.1f} us | "
+            f"xla/SoL-unfused {t_x / sol_u:4.2f}x | pallas {pallas}"
+        )
+
+    total_mid = sum(r[5] for r in rows if r[0].startswith("mid"))
+    total_raw = sum(r[5] for r in rows if r[0].startswith("raw"))
+    print(f"\nper-view totals: mid {total_mid:.1f} us, raw {total_raw:.1f} us")
 
 
 if __name__ == "__main__":

@@ -35,6 +35,31 @@ def test_pallas_warp_matches_xla(group_dim):
     )
 
 
+def test_pallas_vmem_guard_falls_back_to_xla(monkeypatch):
+    """Oversized feature maps must route impl='pallas' through the XLA path
+    (round-1 review: pallas_warp_supported was never consulted)."""
+    from mvster_tpu.kernels import cost_volume, pallas_warp
+
+    sample = plane_scene_sample(2)
+    imgs = jnp.asarray(sample["imgs"])
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+    args = (
+        imgs[:, 0], [imgs[:, 1]], composed[:, 0], [composed[:, 1]], hypo,
+    )
+    kw = dict(group_cor=True, group_dim=3, attn_temp=2.0)
+
+    monkeypatch.setattr(pallas_warp, "MAX_FEATURE_BYTES", 1)  # force fallback
+
+    def boom(*a, **k):
+        raise AssertionError("guard bypassed: pallas kernel invoked")
+
+    monkeypatch.setattr(pallas_warp, "warp_correlate_pallas", boom)
+    out = cost_volume.build_cost_volume(*args, **kw, impl="pallas")
+    ref_out = cost_volume.build_cost_volume(*args, **kw, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out))
+
+
 def test_build_cost_volume_pallas_impl_matches():
     from mvster_tpu.kernels.cost_volume import build_cost_volume
 
