@@ -44,12 +44,15 @@ def make_train_step(
     loss_kwargs: dict | None = None,
     mesh=None,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build the jitted sharded train step.
 
     Returns step(state, batch) -> (state, scalars) where batch is the numpy
     batch dict from MVSLoader (imgs (B,V,H,W,3), proj_matrices, depth,
-    mask, depth_values).
+    mask, depth_values).  jit=False returns the raw traceable step (for
+    embedding in a larger jitted program, e.g. bench.py's chained-latency
+    loop).
     """
     loss_kwargs = dict(loss_kwargs or {})
 
@@ -114,6 +117,8 @@ def make_train_step(
         }
         return new_state, scalars, images
 
+    if not jit:
+        return step
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -2,31 +2,73 @@
 
 THE hot op of the pipeline (BASELINE.json north star): for every depth
 hypothesis, bilinearly sample the source-view feature map at projectively
-warped coordinates and correlate with the reference feature.  The XLA
-formulation materializes the warped (B, D, H, W, C) tensor between the gather
-and the correlation; this kernel keeps the source and reference feature maps
-VMEM-resident (channels on sublanes, pixels on lanes) and performs the 4-tap
-gather + sub-channel dot per (batch, hypothesis) grid step, so only the small
-(G-channel) correlation volume ever reaches HBM.
+warped coordinates and correlate with the reference feature — the
+reference's homo_warping + group-wise correlation
+(/root/reference/models/mvs4net_utils.py:13-59, 1036-1040).
 
-STATUS — interpret-validated blueprint, not compilable on current Mosaic:
-the TPU gather lowering supports only same-shape `take_along_axis` AND only
-single-vreg gather spans ("Not implemented: Multiple source vregs along
-gather dimension" — gathers across more than 128 lanes / 8 sublanes do not
-lower).  An image warp needs arbitrary-span gathers, so this kernel compiles
-only in interpret mode today; semantics are verified against the XLA path in
-tests/test_pallas_warp.py.  Measured on the real chip, XLA's native gather
-formulation of this op is already dispatch-bound (0.02-0.04 ms per
-stage/view at DTU-mid), so the fusion headroom is nil until Mosaic grows
-multi-vreg gathers — at which point this kernel is the drop-in.
+Why a kernel at all: XLA lowers the 4-tap bilinear gather to a row-at-a-time
+TPU gather running at ~1.6 G taps/s — 20.6 ms for ONE source view at the
+512x640 stage-4 shape, ~120 ms of a 168 ms DTU-mid forward (BENCHNOTES.md).
+Mosaic's `dynamic_gather` only supports a single source vreg along the
+gather dimension (<=128 lanes), so a naive in-kernel `take_along_axis`
+across an image row does not compile either ("Not implemented: Multiple
+source vregs along gather dimension").  This kernel restructures the warp
+so every gather IS a single-vreg gather:
+
+  * The output is tiled into (band of B2 rows) x (128-lane blocks); the
+    grid walks (batch, band, block) with the depth loop inside.
+  * Source rows for a band (+/- one band of margin) are DMA'd from HBM
+    into a VMEM scratch once per band; features are laid out (B, H, C, W)
+    so channels sit on sublanes and image columns on lanes.
+  * Plane-sweep coordinates are *locally coherent*: within a 128-pixel
+    block, floor(y) - row spans a few rows and floor(x) spans ~a window of
+    lanes.  Per-(depth, band, block) int32 window bases and trip counts
+    are computed in XLA (cheap reduces) and handed to the kernel as
+    scalar-prefetch arguments.
+  * Inside the window every gather is `take_along_axis` on a (C, 128)
+    tile with lane indices clamped to [0, 128) — the supported single-vreg
+    form.  Out-of-window taps carry zero weight by construction.
+  * The group correlation (mean over C/G sub-channels of warped * ref) is
+    fused in-kernel, so the (B, D, H, W, C) warped tensor never exists:
+    only the (B, D, G, H, W) correlation reaches HBM.
 
 Zero-padding semantics match grid_sample(padding_mode='zeros',
-align_corners=True) exactly (each tap individually masked), i.e. the
-reference homo_warping (mvs4net_utils.py:13-59).
+align_corners=True) exactly: each of the 4 taps is individually masked by
+its own in-image validity, and accumulation order (y0x0, y0x1, y1x0, y1x1)
+matches core/sampling.bilinear_sample, so agreement with the XLA path is
+bitwise up to the sub-channel mean reduction order.
 
-Inference-path kernel: the training path keeps the XLA formulation (autodiff
-through a scatter-adjoint gather is XLA's job); select with
-build_cost_volume(impl="pallas").
+The static window sizes (a parallax-tracking source window of 4-8 bands
+DMA'd per band, 3-4x128-lane columns) comfortably hold for plane-sweep
+geometry at MVS baselines; a runtime predicate verifies them per call over
+the *relevant* (at least partially in-image) pixels and `lax.cond`s to the
+XLA formulation when violated, so the kernel is never wrong, only
+sometimes bypassed.  Row scans have dynamic trip counts, so wide windows
+cost VMEM scratch, not compute.
+
+Inference-path kernel: the training path keeps the XLA formulation
+(coordinates carry no gradient — hypotheses are stop_gradient'ed — but the
+feature gradients need a scatter, which Mosaic cannot express efficiently
+yet); select with build_cost_volume(impl="pallas").
+
+Measured (v5e, f32, batch 1, one source view, chained protocol —
+scripts/bench_warp.py, 2026-08-16; max-err vs XLA <= 5e-7, stage4 bitwise):
+
+    stage               XLA gather   this kernel   speedup
+    mid-stage1  64x80      662 us      ~185 us      ~3x (noise-limited)
+    mid-stage2  128x160   2618 us       653 us       4.0x
+    mid-stage3  256x320   7197 us       885 us       8.1x
+    mid-stage4  512x640  20660 us      2709 us       7.6x
+    raw-stage1  144x200   6473 us      1100 us       5.9x
+    raw-stage2  288x400  27330 us      3513 us       7.8x
+    raw-stage3  576x800  57886 us      4530 us      12.8x
+    raw-stage4 1152x1600 185293 us    16870 us      11.0x
+    per-view total: mid 31.1 -> 4.4 ms (7x), raw 277.0 -> 26.0 ms (10.6x)
+
+On the bench geometry (tests/helpers.synthetic_sample cameras — stronger
+rotation than real DTU scans) every stage/view of the mid and raw cascades
+satisfies the window predicate (scripts/probe_warp_pred.py), so production
+forwards run fully on the kernel.
 """
 
 from __future__ import annotations
@@ -39,99 +81,240 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-# feature maps larger than this per view fall back to XLA (VMEM budget:
-# src + ref + intermediates must fit in ~16 MB)
-MAX_FEATURE_BYTES = 4 << 20
+PADX = 128          # left/right lane margin on the padded source
+_ROW_BIAS = 4096    # bias for the packed per-row scan base (see window_meta)
+# scratch budget for the source row window; calls whose window exceeds
+# this fall back to the XLA formulation
+MAX_FEATURE_BYTES = 8 << 20
 
 
-def _warp_cor_kernel(x_ref, y_ref, src_ref, ref_ref, out_ref, *,
-                     group_dim, src_h, src_w):
-    c = src_ref.shape[1]
-    n = x_ref.shape[-1]
-    src = src_ref[0]  # (C, N)
-    x = x_ref[0, 0, :]  # (N,)
-    y = y_ref[0, 0, :]
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    warped = jnp.zeros((c, n), jnp.float32)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            xi = x0i + dx
-            yi = y0i + dy
-            valid = (xi >= 0) & (xi < src_w) & (yi >= 0) & (yi < src_h)
-            xi = jnp.clip(xi, 0, src_w - 1)
-            yi = jnp.clip(yi, 0, src_h - 1)
-            flat = jnp.clip(yi * src_w + xi, 0, n - 1)  # (N,)
-            wgt = (wy if dy else (1.0 - wy)) * (wx if dx else (1.0 - wx))
-            wgt = jnp.where(valid, wgt, 0.0)
-            taps = jnp.take_along_axis(
-                src, jnp.broadcast_to(flat[None, :], (c, n)), axis=1
-            )
-            warped = warped + taps * wgt[None, :]
-
-    ref = ref_ref[0]  # (C, N)
-    sub = c // group_dim
-    prod = (warped * ref).reshape(group_dim, sub, n)
-    out_ref[0, :, :] = jnp.mean(prod, axis=1)
+def _band_rows(h: int) -> int:
+    """Band height: largest of {16, 8} dividing the stage height."""
+    if h % 16 == 0:
+        return 16
+    if h % 8 == 0:
+        return 8
+    return 0
 
 
-@functools.partial(jax.jit, static_argnames=("group_dim", "src_h", "src_w", "d"))
-def fused_warp_group_cor(
-    x: jnp.ndarray,            # (B*D, 1, N)
-    y: jnp.ndarray,            # (B*D, 1, N)
-    src_feat_cf: jnp.ndarray,  # (B, C, N)
-    ref_feat_cf: jnp.ndarray,  # (B, C, N)
-    *, group_dim: int, src_h: int, src_w: int, d: int,
-) -> jnp.ndarray:
-    """Returns (B*D, G, N) fused correlation."""
-    bd, _, n = x.shape
-    b, c, _ = src_feat_cf.shape
-    grid = (bd,)
-
-    kernel = functools.partial(
-        _warp_cor_kernel, group_dim=group_dim, src_h=src_h, src_w=src_w
-    )
-    vmem_bytes = (2 * c * n + 8 * n + group_dim * n) * 4 + (2 << 20)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, n), lambda i: (i // d, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, n), lambda i: (i // d, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, group_dim, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bd, group_dim, n), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes, 100 << 20)
-        ),
-    )(x, y, src_feat_cf, ref_feat_cf)
+def _window_bands(cp: int) -> int:
+    """Source-window height in bands: wider for narrow-channel (late,
+    high-parallax) stages, narrower when channels make bands heavy.
+    The row-scan loop has a dynamic trip count, so a wider window costs
+    only VMEM scratch, not compute."""
+    if cp <= 8:
+        return 8
+    if cp <= 16:
+        return 6
+    return 4
 
 
-def _pad_last(arr, multiple):
-    n = arr.shape[-1]
-    target = -(-n // multiple) * multiple
-    if target == n:
-        return arr
-    pad = [(0, 0)] * arr.ndim
-    pad[-1] = (0, target - n)
-    return jnp.pad(arr, pad)
+def _nk(cp: int) -> int:
+    """Lane-window width in 128-lane vregs.  Full-resolution (narrow
+    channel) stages see the widest horizontal parallax spread within a
+    block; the extra statically-unrolled gather is zero-masked when a
+    block's span doesn't need it."""
+    return 4 if cp <= 8 else 3
+
+
+def _interpret_forced() -> bool:
+    """True inside pltpu.force_tpu_interpret_mode() (CPU kernel testing)."""
+    try:
+        from jax._src import config as _jax_config
+
+        return (
+            _jax_config.pallas_tpu_interpret_mode_context_manager.value
+            is not None
+        )
+    except Exception:
+        return False
 
 
 def pallas_warp_supported(src_feat: jnp.ndarray) -> bool:
+    """Static guard consulted by build_cost_volume(impl='pallas')."""
     b, h, w, c = src_feat.shape
-    return h * w * c * 4 <= MAX_FEATURE_BYTES
+    b2 = _band_rows(h)
+    if b2 == 0 or src_feat.dtype != jnp.float32:
+        return False
+    if jax.devices()[0].platform != "tpu" and not _interpret_forced():
+        return False
+    cp = -(-c // 8) * 8
+    wp = -(-w // LANE) * LANE + 2 * PADX
+    winb = min(_window_bands(cp), h // b2 + 2)
+    scratch_bytes = winb * b2 * cp * wp * 4
+    return scratch_bytes <= MAX_FEATURE_BYTES
+
+
+def _warp_kernel(meta_ref, row_ref, shift_ref, src_hbm, ref_ref, x_ref,
+                 y_ref, out_ref, scratch, acc, sem, *, b2, winb, nk, d,
+                 group_dim, sub, h_real, w_real, nb, nxb):
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    j = pl.program_id(2)
+    cp = scratch.shape[1]
+    # the winb-band source window tracks the vertical parallax: its top row
+    # is original row k*b2 + shift (shift pre-clamped in XLA so the padded
+    # slice is in bounds)
+    shift = shift_ref[b * nb + k]
+
+    @pl.when(j == 0)
+    def _fetch_band():
+        dma = pltpu.make_async_copy(
+            src_hbm.at[b, pl.ds(k * b2 + b2 + shift, winb * b2)],
+            scratch, sem,
+        )
+        dma.start()
+        dma.wait()
+
+    for d_i in range(d):
+        # meta is FLAT 1-D: multi-dim SMEM operands are tile-padded (last
+        # two dims to (8, 128)), which overflows the 1 MB SMEM at raw-stage4
+        # ((1,4,72,13,4) pads to 2.25 MB); flat arrays pad to lanes only.
+        blk = ((b * d + d_i) * nb + k) * nxb + j
+        xb = pl.multiple_of(meta_ref[blk], LANE)
+        rowbase = blk * b2
+
+        def row_body(i, _):
+            # per-output-row scan window, packed (pb+BIAS)<<16 | rcnt: the
+            # row-drift across a 16-row band otherwise inflates every row's
+            # scan count by ~2x (window_meta packs; see _ROW_BIAS)
+            word = row_ref[rowbase + i]
+            pb = (word >> 16) - _ROW_BIAS
+            rcnt = word & 0xFFFF
+            x = x_ref[0, d_i, pl.ds(i, 1), :]          # (1, 128)
+            y = y_ref[0, d_i, pl.ds(i, 1), :]
+            x0f = jnp.floor(x)
+            y0f = jnp.floor(y)
+            wx = x - x0f
+            wy = y - y0f
+            x0i = x0f.astype(jnp.int32)
+            y0i = y0f.astype(jnp.int32)
+            vx0 = ((x0i >= 0) & (x0i < w_real)).astype(jnp.float32)
+            vx1 = ((x0i + 1 >= 0) & (x0i + 1 < w_real)).astype(jnp.float32)
+            vy0 = ((y0i >= 0) & (y0i < h_real)).astype(jnp.float32)
+            vy1 = ((y0i + 1 >= 0) & (y0i + 1 < h_real)).astype(jnp.float32)
+            w_y0 = (1.0 - wy) * vy0
+            w_y1 = wy * vy1
+            # source row indices relative to the window origin (row 0 of
+            # the scratch window is original row k*b2 + shift)
+            y0_rel = y0i - k * b2 - shift
+
+            rx0 = x0i + PADX - xb  # window-relative x0 tap index
+            w_x0 = (1.0 - wx) * vx0
+            w_x1 = wx * vx1
+
+            def r_body(r, acc_w):
+                row_scr = jnp.clip(i + pb + r, 0, winb * b2 - 1)
+                m0 = (y0_rel == row_scr).astype(jnp.float32)
+                m1 = (y0_rel + 1 == row_scr).astype(jnp.float32)
+                w_row = m0 * w_y0 + m1 * w_y1  # (1, 128)
+
+                # statically unrolled lane windows; excess vregs are
+                # zero-masked via in0/in1 (kcnt bounds them by construction).
+                # A dynamic fori_loop over kcnt measured ~2x SLOWER — Mosaic
+                # lowers the per-iteration dynamic lane-slice poorly.
+                tile3 = scratch[
+                    pl.ds(row_scr, 1), :, pl.ds(xb, nk * LANE)
+                ].reshape(cp, nk * LANE)
+                for k3 in range(nk):
+                    tile = tile3[:, k3 * LANE:(k3 + 1) * LANE]
+                    ix0 = rx0 - k3 * LANE
+                    in0 = ((ix0 >= 0) & (ix0 < LANE)).astype(jnp.float32)
+                    g0 = jnp.take_along_axis(
+                        tile,
+                        jnp.broadcast_to(
+                            jnp.clip(ix0, 0, LANE - 1), (cp, LANE)
+                        ),
+                        axis=1,
+                    )
+                    ix1 = ix0 + 1
+                    in1 = ((ix1 >= 0) & (ix1 < LANE)).astype(jnp.float32)
+                    g1 = jnp.take_along_axis(
+                        tile,
+                        jnp.broadcast_to(
+                            jnp.clip(ix1, 0, LANE - 1), (cp, LANE)
+                        ),
+                        axis=1,
+                    )
+                    w0 = w_row * w_x0 * in0
+                    w1 = w_row * w_x1 * in1
+                    acc_w = acc_w + g0 * w0 + g1 * w1
+                return acc_w
+
+            warped = jax.lax.fori_loop(
+                0, rcnt, r_body, jnp.zeros((cp, LANE), jnp.float32)
+            )
+            acc[pl.ds(i, 1)] = warped.reshape(1, cp, LANE)
+            return 0
+
+        jax.lax.fori_loop(0, b2, row_body, 0)
+
+        # fused group correlation: mean over C/G sub-channels of warped*ref
+        prod = acc[:] * ref_ref[0]  # (B2, CP, 128); padded ref rows are zero
+        inv = jnp.float32(1.0 / sub)
+        for g in range(group_dim):
+            out_ref[0, d_i, g] = (
+                jnp.sum(prod[:, g * sub:(g + 1) * sub, :], axis=1) * inv
+            )
+
+
+def _pallas_call(meta, rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
+                 group_dim, sub, h, w, nb, nxb, cp, wp, interpret=False):
+    kernel = functools.partial(
+        _warp_kernel, b2=b2, winb=winb, nk=nk, d=d, group_dim=group_dim,
+        sub=sub, h_real=h, w_real=w, nb=nb, nxb=nxb,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(src_p.shape[0], nb, nxb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # src (HBM)
+            pl.BlockSpec(                                      # ref window
+                (1, b2, cp, LANE),
+                lambda b, k, j, *_: (b, k + 1, 0, j + 1),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(                                      # x coords
+                (1, d, b2, LANE),
+                lambda b, k, j, *_: (b, 0, k, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(                                      # y coords
+                (1, d, b2, LANE),
+                lambda b, k, j, *_: (b, 0, k, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d, group_dim, b2, LANE),
+            lambda b, k, j, *_: (b, 0, 0, k, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((winb * b2, cp, wp), jnp.float32),
+            pltpu.VMEM((b2, cp, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (src_p.shape[0], d, group_dim, h, nxb * LANE), jnp.float32
+        ),
+        interpret=interpret,
+    )(meta, rows, shift, src_p, ref_p, xc, yc)
+
+
+def _pad_feature(feat, b2, wp):
+    """(B, H, W, C) -> zero-padded (B, H + 2*b2, CP, WP), channels on dim 2."""
+    b, h, w, c = feat.shape
+    cp = -(-c // 8) * 8
+    f = jnp.transpose(feat, (0, 1, 3, 2))  # (B, H, C, W)
+    return jnp.pad(
+        f,
+        ((0, 0), (b2, b2), (0, cp - c), (PADX, wp - w - PADX)),
+    )
 
 
 def warp_correlate_pallas(
@@ -140,28 +323,149 @@ def warp_correlate_pallas(
     x: jnp.ndarray,          # (B, D, H, W) source pixel coords
     y: jnp.ndarray,
     group_dim: int,
+    *,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Convenience wrapper -> (B, D, H, W, G), channels-last like the XLA path.
+    """Fused warp + group correlation -> (B, D, H, W, G), channels-last.
 
-    Requires src and ref at the same resolution (the MVSTER contract) so the
-    gather's operand and index lanes line up; pads N to a 128 multiple (the
-    padded coordinate lanes are steered out of bounds so they contribute
-    nothing).
+    Requires src and ref at the same resolution (the MVSTER contract).
+    Falls back to the XLA gather path at runtime (lax.cond) when the
+    plane-sweep geometry exceeds the kernel's static windows — decided over
+    pixels with at least one in-image tap, so wild out-of-frustum
+    projections (which contribute zero either way) cannot force a fallback.
     """
     b, hs, ws, c = src_feat.shape
     _, d, h, w = x.shape
     assert (hs, ws) == (h, w), "pallas warp expects matching view resolutions"
-    n = h * w
+    assert c % group_dim == 0
+    sub = c // group_dim
+    b2 = _band_rows(h)
+    assert b2, f"height {h} not divisible by 8"
+    nb = h // b2
+    nxb = -(-w // LANE)
+    wc = nxb * LANE
+    wp = wc + 2 * PADX
 
-    src_cf = _pad_last(src_feat.reshape(b, n, c).transpose(0, 2, 1), LANE)
-    ref_cf = _pad_last(ref_feat.reshape(b, n, c).transpose(0, 2, 1), LANE)
-    xf = _pad_last(x.reshape(b * d, 1, n), LANE)
-    yf = _pad_last(y.reshape(b * d, 1, n), LANE)
+    # --- XLA-side precompute: padded operands + per-block window metadata
+    src_p = _pad_feature(src_feat, b2, wp)
+    ref_p = _pad_feature(ref_feat, b2, wp)
+    # edge-pad coords so padded lanes follow their block's window
+    xc = jnp.pad(x, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
+    yc = jnp.pad(y, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
+    # cap the band window at the padded buffer height (nb + 2 bands): a
+    # wider window would make the per-band DMA slice unsatisfiable at small
+    # images and invert the shift clamp range
+    winb = min(_window_bands(src_p.shape[2]), nb + 2)
+    # cap the lane window at the padded width (small images)
+    nk = min(_nk(src_p.shape[2]), wp // LANE)
+    meta_blk, meta_row, shift, pred = window_meta(xc, yc, h, w, b2, winb, nk)
+    # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
+    # tile-padded (last two dims to (8,128)) and overflow SMEM at raw sizes
+    meta_blk = meta_blk.reshape(-1)
+    meta_row = meta_row.reshape(-1)
+    shift = shift.reshape(-1)
 
-    out = fused_warp_group_cor(
-        xf.astype(jnp.float32), yf.astype(jnp.float32),
-        src_cf.astype(jnp.float32), ref_cf.astype(jnp.float32),
-        group_dim=group_dim, src_h=hs, src_w=ws, d=d,
-    )  # (B*D, G, Npad)
-    out = out[:, :, :n].reshape(b, d, group_dim, h, w)
-    return out.transpose(0, 1, 3, 4, 2)
+    def kernel_path(_):
+        out = _pallas_call(
+            meta_blk, meta_row, shift, src_p, ref_p, xc, yc,
+            b2=b2, winb=winb, nk=nk, d=d, group_dim=group_dim, sub=sub,
+            h=h, w=w, nb=nb, nxb=nxb, cp=src_p.shape[2], wp=wp,
+            interpret=interpret,
+        )  # (B, D, G, H, WC)
+        return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
+
+    def xla_path(_):
+        from mvster_tpu.core.sampling import grid_sample_zeros
+        from mvster_tpu.kernels.cost_volume import correlate
+
+        return correlate(
+            grid_sample_zeros(src_feat, x, y), ref_feat, True, group_dim
+        )
+
+    return jax.lax.cond(pred, kernel_path, xla_path, operand=None)
+
+
+def window_meta(xc, yc, h, w, b2, winb, nk):
+    """Kernel window metadata + feasibility predicate.
+
+    xc/yc are the (B, D, H, WC) lane-padded coordinates; returns
+    (meta_blk, meta_row, shift, pred):
+
+      * meta_blk (B, D, NB, NXB) int32 — aligned lane-window base per
+        (depth, band, lane-block), in padded columns.
+      * meta_row (B, D, NB, NXB, B2) int32 — PER-OUTPUT-ROW scan window,
+        packed (pb + _ROW_BIAS) << 16 | rcnt where pb is the scan base
+        relative to the output row (window coordinates) and rcnt the scan
+        count.  Per-row windows matter: a per-block window would add the
+        band's 16-row drift (y_src - y_out scale mismatch) to every row's
+        scan count — measured ~2x extra scanning on DTU-like geometry.
+      * shift (B, NB) int32 — per-band DMA window offset.
+      * pred — True iff every relevant pixel fits the static windows.
+    """
+    b, d, _, wcols = xc.shape
+    nb = h // b2
+    nxb = wcols // LANE
+    wp = nxb * LANE + 2 * PADX
+
+    x0f = jnp.floor(xc)
+    y0f = jnp.floor(yc)
+    rel = (xc > -1) & (xc < w) & (yc > -1) & (yc < h)  # >=1 tap in-image
+    i_abs = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    yres = y0f - i_abs
+
+    def blockify(v):  # (B, D, H, WC) -> (B, D, NB, B2, NXB, LANE)
+        return v.reshape(b, d, nb, b2, nxb, LANE)
+
+    inf = jnp.float32(jnp.inf)
+    rel_b = blockify(rel)
+    yres_b = blockify(yres)
+    x0_b = blockify(x0f)
+    # per-row (over lanes only) y-scan extents: (B, D, NB, B2, NXB)
+    ymin_r = jnp.min(jnp.where(rel_b, yres_b, inf), axis=5)
+    ymax_r = jnp.max(jnp.where(rel_b, yres_b, -inf), axis=5)
+    rel_r = jnp.any(rel_b, axis=5)
+    # per-block x extents: (B, D, NB, NXB)
+    xmin = jnp.min(jnp.where(rel_b, x0_b, inf), axis=(3, 5))
+    xmax = jnp.max(jnp.where(rel_b, x0_b + 1, -inf), axis=(3, 5))
+    any_rel = jnp.any(rel_b, axis=(3, 5))
+
+    # per-band window shift: let the winb-band source window track the
+    # vertical parallax (min scan base over the band's relevant rows and
+    # depths), clamped so the padded slice [k*b2 + b2 + shift, +winb*b2)
+    # stays inside the (H + 2*b2)-row padded source
+    shift_raw = jnp.min(
+        jnp.where(rel_r, ymin_r, inf), axis=(1, 3, 4)
+    )  # (B, NB)
+    shift_raw = jnp.where(jnp.isfinite(shift_raw), shift_raw, 0.0)
+    k_idx = jnp.arange(nb, dtype=jnp.float32)[None]
+    shift = jnp.clip(
+        shift_raw, -(k_idx + 1) * b2, h + (1 - winb) * b2 - k_idx * b2
+    ).astype(jnp.int32)
+
+    # window-relative per-row scan base/count
+    pb = (
+        jnp.where(rel_r, ymin_r, 0.0).astype(jnp.int32)
+        - shift[:, None, :, None, None]
+    )
+    rcnt = jnp.where(rel_r, ymax_r - ymin_r + 2.0, 0.0).astype(jnp.int32)
+
+    xbase = jnp.clip(
+        jnp.floor((jnp.where(any_rel, xmin, 0.0) + PADX) / LANE) * LANE,
+        0.0, wp - nk * LANE,
+    ).astype(jnp.int32)
+
+    # feasibility: scan rows [i + pb, i + pb + rcnt) within the window
+    i_in = jnp.arange(b2, dtype=jnp.int32)[None, None, None, :, None]
+    ok_y = (i_in + pb >= 0) & (i_in + pb + rcnt <= winb * b2)
+    ok_x = (xmax + PADX - xbase.astype(jnp.float32) < nk * LANE) & (
+        xmin + PADX >= xbase.astype(jnp.float32)
+    )
+    pred = jnp.all(jnp.where(rel_r, ok_y, True)) & jnp.all(
+        jnp.where(any_rel, ok_x, True)
+    )
+
+    pb = jnp.clip(pb, -_ROW_BIAS, _ROW_BIAS - 1)
+    rcnt = jnp.clip(rcnt, 0, winb * b2)
+    meta_row = ((pb + _ROW_BIAS) << 16) | rcnt  # (B, D, NB, B2, NXB)
+    meta_row = jnp.transpose(meta_row, (0, 1, 2, 4, 3))  # rows innermost
+    return xbase, meta_row, shift, pred

@@ -67,6 +67,12 @@ class MVS4NetConfig:
     # "float32" (default, bitwise parity) or "bfloat16" (MXU-native convs;
     # norms, geometry, softmax/argmax and losses stay f32)
     compute_dtype: str = "float32"
+    # plane-sweep warp implementation for inference forwards: "pallas"
+    # (fused VMEM kernel, ~7x the XLA gather at stage 4 — kernels/
+    # pallas_warp.py) or "xla".  Training always uses the differentiable
+    # XLA formulation; the kernel falls back to it at runtime when the
+    # geometry exceeds its static windows, so numerics are unchanged.
+    warp_impl: str = "pallas"
 
     @classmethod
     def dtu_default(cls, **overrides) -> "MVS4NetConfig":
@@ -220,6 +226,7 @@ class MVS4Net(nn.Module):
             group_dim=cfg.group_cor_dim[stage_idx],
             attn_temp=cfg.attn_temp,
             attn_fuse_d=cfg.attn_fuse_d,
+            impl="xla" if train else cfg.warp_impl,
         )  # (B, D, H, W, G|C)
 
         if cfg.pos_enc == 1:
@@ -241,8 +248,16 @@ class MVS4Net(nn.Module):
         logits = regnet(cor_feats, train)  # (B, D, H, W)
         attn_weight = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
 
-        idx = jnp.argmax(attn_weight, axis=1, keepdims=True)  # (B, 1, H, W)
-        depth = jnp.take_along_axis(depth_hypo, idx, axis=1)[:, 0]  # (B, H, W)
+        # winner-take-all depth (reference: gather of argmax,
+        # mvs4net_utils.py:1071-1072).  Formulated as one-hot x sum instead of
+        # take_along_axis: argmax keeps the exact first-max tie semantics, and
+        # the one-hot select is pure elementwise work — take_along_axis lowers
+        # to an XLA gather that costs ~4 ms/stage at 512x640 on TPU (~40x this
+        # formulation; BENCHNOTES.md).
+        idx = jnp.argmax(attn_weight, axis=1)  # (B, H, W)
+        d_iota = jnp.arange(attn_weight.shape[1], dtype=idx.dtype)
+        onehot = idx[:, None] == d_iota[None, :, None, None]  # (B, D, H, W)
+        depth = jnp.sum(depth_hypo * onehot, axis=1)  # (B, H, W)
 
         conf = jnp.max(attn_weight, axis=1)  # (B, H, W)
         up = 2 ** (3 - stage_idx)

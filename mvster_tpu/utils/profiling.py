@@ -51,6 +51,58 @@ class Timer:
         return False
 
 
+def chain_latency(
+    make_scalar,
+    *args,
+    iters: int = 8,
+    reps: int = 3,
+    lo: int = 1,
+) -> float:
+    """True per-iteration device latency of `make_scalar`, in seconds.
+
+    THE trustworthy timing protocol for this codebase.  Wall-clock +
+    `block_until_ready` is NOT a valid measurement through the hosted axon
+    runtime: executions whose outputs stay device-side complete
+    asynchronously after block_until_ready returns, so the classic
+    warmup/median loop measures dispatch (~25 us) rather than compute —
+    that artifact produced the bogus round-1 "0.24 ms/view" headline
+    (real value ~170 ms; see BENCHNOTES.md).  Two things force honesty:
+
+      1. iterations chained by data dependency inside ONE jitted
+         `lax.fori_loop` (no per-call dispatch, nothing elidable), and
+      2. a scalar result fetched to the host (small outputs are returned
+         eagerly, so the fetch blocks until the whole chain executed).
+
+    `make_scalar(carry, *args)` must return a scalar that depends on all
+    the compute being measured, and must feed `carry` (a f32 scalar) into
+    its inputs (e.g. `x + 1e-12 * carry`) so iterations can't be hoisted
+    or reordered.  The trip count is a traced argument: one compile,
+    no unrolling.  Reported value is (T(iters) - T(lo)) / (iters - lo),
+    minimum over `reps` repeats — fixed overheads (dispatch, input
+    upload, result fetch) cancel in the subtraction.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(n, *a):
+        def body(_, carry):
+            return jnp.asarray(make_scalar(carry, *a), jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(chain(jnp.int32(lo), *args))  # compile
+    float(chain(jnp.int32(lo), *args))  # warm
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(jnp.int32(n), *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(iters) - timed(lo)) / (iters - lo)
+
+
 def device_memory_stats(device=None) -> dict:
     """Bytes in use / peak / limit for a device (empty dict if unsupported)."""
     device = device or jax.devices()[0]
