@@ -110,11 +110,12 @@ def _window_bands(cp: int) -> int:
 
 
 def _nk(cp: int) -> int:
-    """Lane-window width in 128-lane vregs.  Full-resolution (narrow
-    channel) stages see the widest horizontal parallax spread within a
-    block; the extra statically-unrolled gather is zero-masked when a
-    block's span doesn't need it."""
-    return 4 if cp <= 8 else 3
+    """Lane-window width in 128-lane vregs.  With PER-ROW aligned window
+    bases a row's horizontal span is ~128*dx/dlane + alignment slack, which
+    3 vregs cover for all MVS geometry we've probed (block-level bases
+    needed 4 at full-res stages); rows that exceed it trip the runtime
+    predicate and fall back to XLA."""
+    return 3
 
 
 def _interpret_forced() -> bool:
@@ -145,7 +146,7 @@ def pallas_warp_supported(src_feat: jnp.ndarray) -> bool:
     return scratch_bytes <= MAX_FEATURE_BYTES
 
 
-def _warp_kernel(meta_ref, row_ref, shift_ref, src_hbm, ref_ref, x_ref,
+def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
                  y_ref, out_ref, scratch, acc, sem, *, b2, winb, nk, d,
                  group_dim, sub, h_real, w_real, nb, nxb):
     b = pl.program_id(0)
@@ -171,16 +172,18 @@ def _warp_kernel(meta_ref, row_ref, shift_ref, src_hbm, ref_ref, x_ref,
         # two dims to (8, 128)), which overflows the 1 MB SMEM at raw-stage4
         # ((1,4,72,13,4) pads to 2.25 MB); flat arrays pad to lanes only.
         blk = ((b * d + d_i) * nb + k) * nxb + j
-        xb = pl.multiple_of(meta_ref[blk], LANE)
         rowbase = blk * b2
 
         def row_body(i, _):
-            # per-output-row scan window, packed (pb+BIAS)<<16 | rcnt: the
-            # row-drift across a 16-row band otherwise inflates every row's
-            # scan count by ~2x (window_meta packs; see _ROW_BIAS)
+            # per-output-row window, packed xb/128 << 22 | (pb+BIAS) << 8
+            # | rcnt.  Per-row granularity matters twice: the band drift
+            # otherwise inflates every row's scan count ~2x, and a per-row
+            # aligned lane base needs only 3 window vregs where a shared
+            # block base needed 4 (window_meta packs; see _ROW_BIAS).
             word = row_ref[rowbase + i]
-            pb = (word >> 16) - _ROW_BIAS
-            rcnt = word & 0xFFFF
+            xb = pl.multiple_of((word >> 22) * LANE, LANE)
+            pb = ((word >> 8) & 0x3FFF) - _ROW_BIAS
+            rcnt = word & 0xFF
             x = x_ref[0, d_i, pl.ds(i, 1), :]          # (1, 128)
             y = y_ref[0, d_i, pl.ds(i, 1), :]
             x0f = jnp.floor(x)
@@ -258,14 +261,14 @@ def _warp_kernel(meta_ref, row_ref, shift_ref, src_hbm, ref_ref, x_ref,
             )
 
 
-def _pallas_call(meta, rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
+def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
                  group_dim, sub, h, w, nb, nxb, cp, wp, interpret=False):
     kernel = functools.partial(
         _warp_kernel, b2=b2, winb=winb, nk=nk, d=d, group_dim=group_dim,
         sub=sub, h_real=h, w_real=w, nb=nb, nxb=nxb,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(src_p.shape[0], nb, nxb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # src (HBM)
@@ -303,7 +306,7 @@ def _pallas_call(meta, rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
             (src_p.shape[0], d, group_dim, h, nxb * LANE), jnp.float32
         ),
         interpret=interpret,
-    )(meta, rows, shift, src_p, ref_p, xc, yc)
+    )(rows, shift, src_p, ref_p, xc, yc)
 
 
 def _pad_feature(feat, b2, wp):
@@ -346,32 +349,62 @@ def warp_correlate_pallas(
     wc = nxb * LANE
     wp = wc + 2 * PADX
 
-    # --- XLA-side precompute: padded operands + per-block window metadata
+    # --- depth-packed lane layout: all D hypotheses share each 128-lane
+    # vreg (D groups of 128/D columns).  The scan count per row is
+    # ~slope * lane_cols + depth-spread, so narrowing the column group from
+    # 128 to 128/D cuts the dominant term by D at full vreg utilization —
+    # decisive at raw sizes where steep epipolar slopes drive 30+-row scans.
+    pc = LANE // d if (d > 1 and LANE % d == 0) else 0
+    pack = bool(pc) and w % pc == 0
+
+    # --- XLA-side precompute: padded operands + per-row window metadata
     src_p = _pad_feature(src_feat, b2, wp)
-    ref_p = _pad_feature(ref_feat, b2, wp)
-    # edge-pad coords so padded lanes follow their block's window
-    xc = jnp.pad(x, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
-    yc = jnp.pad(y, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
     # cap the band window at the padded buffer height (nb + 2 bands): a
     # wider window would make the per-band DMA slice unsatisfiable at small
     # images and invert the shift clamp range
     winb = min(_window_bands(src_p.shape[2]), nb + 2)
-    # cap the lane window at the padded width (small images)
+    # cap the lane window at the padded source width (small images)
     nk = min(_nk(src_p.shape[2]), wp // LANE)
-    meta_blk, meta_row, shift, pred = window_meta(xc, yc, h, w, b2, winb, nk)
+
+    if pack:
+        nw = w // pc
+
+        def pack_lanes(v):  # (B, D, H, W) -> (B, 1, H, W*D)
+            return jnp.transpose(
+                v.reshape(b, d, h, nw, pc), (0, 2, 3, 1, 4)
+            ).reshape(b, 1, h, w * d)
+
+        xc, yc = pack_lanes(x), pack_lanes(y)
+        ref_lanes = jnp.broadcast_to(
+            ref_feat.reshape(b, h, nw, 1, pc, c), (b, h, nw, d, pc, c)
+        ).reshape(b, h, w * d, c)
+        ref_p = _pad_feature(ref_lanes, b2, w * d + 2 * PADX)
+        kd, knxb = 1, (w * d) // LANE
+    else:
+        xc = jnp.pad(x, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
+        yc = jnp.pad(y, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
+        ref_p = _pad_feature(ref_feat, b2, wp)
+        kd, knxb = d, nxb
+
+    meta_row, shift, pred = window_meta(xc, yc, h, w, b2, winb, nk, wp)
     # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
     # tile-padded (last two dims to (8,128)) and overflow SMEM at raw sizes
-    meta_blk = meta_blk.reshape(-1)
     meta_row = meta_row.reshape(-1)
     shift = shift.reshape(-1)
 
     def kernel_path(_):
         out = _pallas_call(
-            meta_blk, meta_row, shift, src_p, ref_p, xc, yc,
-            b2=b2, winb=winb, nk=nk, d=d, group_dim=group_dim, sub=sub,
-            h=h, w=w, nb=nb, nxb=nxb, cp=src_p.shape[2], wp=wp,
+            meta_row, shift, src_p, ref_p, xc, yc,
+            b2=b2, winb=winb, nk=nk, d=kd, group_dim=group_dim, sub=sub,
+            h=h, w=w, nb=nb, nxb=knxb, cp=src_p.shape[2], wp=wp,
             interpret=interpret,
-        )  # (B, D, G, H, WC)
+        )  # (B, KD, G, H, KNXB*LANE)
+        if pack:
+            out = jnp.transpose(
+                out.reshape(b, group_dim, h, nw, d, pc),
+                (0, 4, 2, 3, 5, 1),
+            ).reshape(b, d, h, w, group_dim)
+            return out
         return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
 
     def xla_path(_):
@@ -385,27 +418,31 @@ def warp_correlate_pallas(
     return jax.lax.cond(pred, kernel_path, xla_path, operand=None)
 
 
-def window_meta(xc, yc, h, w, b2, winb, nk):
+def window_meta(xc, yc, h, w, b2, winb, nk, wp_src=None):
     """Kernel window metadata + feasibility predicate.
 
     xc/yc are the (B, D, H, WC) lane-padded coordinates; returns
-    (meta_blk, meta_row, shift, pred):
+    (meta_row, shift, pred):
 
-      * meta_blk (B, D, NB, NXB) int32 — aligned lane-window base per
-        (depth, band, lane-block), in padded columns.
-      * meta_row (B, D, NB, NXB, B2) int32 — PER-OUTPUT-ROW scan window,
-        packed (pb + _ROW_BIAS) << 16 | rcnt where pb is the scan base
+      * meta_row (B, D, NB, NXB, B2) int32 — PER-OUTPUT-ROW window, packed
+        (xb/128) << 22 | (pb + _ROW_BIAS) << 8 | rcnt, where xb is the
+        row's aligned lane-window base in padded columns, pb the scan base
         relative to the output row (window coordinates) and rcnt the scan
-        count.  Per-row windows matter: a per-block window would add the
-        band's 16-row drift (y_src - y_out scale mismatch) to every row's
-        scan count — measured ~2x extra scanning on DTU-like geometry.
+        count.  Per-row granularity matters twice: a per-block scan window
+        would add the band's row drift (y_src - y_out scale mismatch) to
+        every row's scan count (~2x extra scanning on DTU-like geometry),
+        and a per-row lane base covers a row's x-span with 3 window vregs
+        where a shared block base needed 4.
       * shift (B, NB) int32 — per-band DMA window offset.
       * pred — True iff every relevant pixel fits the static windows.
+
+    wp_src is the padded SOURCE width the lane-window base indexes into
+    (differs from the coords width in the depth-packed lane layout).
     """
     b, d, _, wcols = xc.shape
     nb = h // b2
     nxb = wcols // LANE
-    wp = nxb * LANE + 2 * PADX
+    wp = wp_src if wp_src is not None else nxb * LANE + 2 * PADX
 
     x0f = jnp.floor(xc)
     y0f = jnp.floor(yc)
@@ -420,14 +457,12 @@ def window_meta(xc, yc, h, w, b2, winb, nk):
     rel_b = blockify(rel)
     yres_b = blockify(yres)
     x0_b = blockify(x0f)
-    # per-row (over lanes only) y-scan extents: (B, D, NB, B2, NXB)
+    # per-row (over lanes only) extents: (B, D, NB, B2, NXB)
     ymin_r = jnp.min(jnp.where(rel_b, yres_b, inf), axis=5)
     ymax_r = jnp.max(jnp.where(rel_b, yres_b, -inf), axis=5)
+    xmin_r = jnp.min(jnp.where(rel_b, x0_b, inf), axis=5)
+    xmax_r = jnp.max(jnp.where(rel_b, x0_b + 1, -inf), axis=5)
     rel_r = jnp.any(rel_b, axis=5)
-    # per-block x extents: (B, D, NB, NXB)
-    xmin = jnp.min(jnp.where(rel_b, x0_b, inf), axis=(3, 5))
-    xmax = jnp.max(jnp.where(rel_b, x0_b + 1, -inf), axis=(3, 5))
-    any_rel = jnp.any(rel_b, axis=(3, 5))
 
     # per-band window shift: let the winb-band source window track the
     # vertical parallax (min scan base over the band's relevant rows and
@@ -450,22 +485,22 @@ def window_meta(xc, yc, h, w, b2, winb, nk):
     rcnt = jnp.where(rel_r, ymax_r - ymin_r + 2.0, 0.0).astype(jnp.int32)
 
     xbase = jnp.clip(
-        jnp.floor((jnp.where(any_rel, xmin, 0.0) + PADX) / LANE) * LANE,
+        jnp.floor((jnp.where(rel_r, xmin_r, 0.0) + PADX) / LANE) * LANE,
         0.0, wp - nk * LANE,
     ).astype(jnp.int32)
 
     # feasibility: scan rows [i + pb, i + pb + rcnt) within the window
     i_in = jnp.arange(b2, dtype=jnp.int32)[None, None, None, :, None]
     ok_y = (i_in + pb >= 0) & (i_in + pb + rcnt <= winb * b2)
-    ok_x = (xmax + PADX - xbase.astype(jnp.float32) < nk * LANE) & (
-        xmin + PADX >= xbase.astype(jnp.float32)
+    ok_x = (xmax_r + PADX - xbase.astype(jnp.float32) < nk * LANE) & (
+        xmin_r + PADX >= xbase.astype(jnp.float32)
     )
-    pred = jnp.all(jnp.where(rel_r, ok_y, True)) & jnp.all(
-        jnp.where(any_rel, ok_x, True)
-    )
+    pred = jnp.all(jnp.where(rel_r, ok_y & ok_x, True))
 
-    pb = jnp.clip(pb, -_ROW_BIAS, _ROW_BIAS - 1)
+    pb = jnp.clip(pb, -_ROW_BIAS, 0x3FFF - _ROW_BIAS)
     rcnt = jnp.clip(rcnt, 0, winb * b2)
-    meta_row = ((pb + _ROW_BIAS) << 16) | rcnt  # (B, D, NB, B2, NXB)
+    meta_row = (
+        ((xbase // LANE) << 22) | ((pb + _ROW_BIAS) << 8) | rcnt
+    )  # (B, D, NB, B2, NXB)
     meta_row = jnp.transpose(meta_row, (0, 1, 2, 4, 3))  # rows innermost
-    return xbase, meta_row, shift, pred
+    return meta_row, shift, pred

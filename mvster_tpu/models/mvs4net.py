@@ -210,6 +210,11 @@ class MVS4Net(nn.Module):
         Mirrors stagenet.forward (mvs4net_utils.py:1012-1094).
         """
         cfg = self.config
+        warp_impl = "xla" if train else cfg.warp_impl
+        if warp_impl == "pallas" and feat_stage.dtype != jnp.float32:
+            # the Pallas warp kernel is f32-only; upcasting bf16 features is
+            # exact, so bf16 compute mode keeps the fast inference path
+            feat_stage = feat_stage.astype(jnp.float32)
         ref_feat = feat_stage[:, 0]
         src_feats = [feat_stage[:, i] for i in range(1, feat_stage.shape[1])]
         composed = compose_projection(projs)  # (B, V, 4, 4)
@@ -226,7 +231,7 @@ class MVS4Net(nn.Module):
             group_dim=cfg.group_cor_dim[stage_idx],
             attn_temp=cfg.attn_temp,
             attn_fuse_d=cfg.attn_fuse_d,
-            impl="xla" if train else cfg.warp_impl,
+            impl=warp_impl,
         )  # (B, D, H, W, G|C)
 
         if cfg.pos_enc == 1:
