@@ -43,9 +43,18 @@ def warp_src_feature(
     src_feat: (B, H, W, C); projections (B, 4, 4); depth_hypo (B, D, Hr, Wr).
     Returns (B, D, Hr, Wr, C).  Equivalent to the reference homo_warping
     (mvs4net_utils.py:13-59) with grid_sample(align_corners=True, zeros).
+
+    Differentiation note: the source-feature gradient routes through the
+    Pallas scatter kernel (kernels/pallas_scatter.py) — XLA's scatter is
+    ~8x the forward gather on TPU and dominated the train step.  The
+    coordinates carry zero cotangents, which is exact here: MVSTER's
+    hypotheses are stop_gradient'ed between stages and the projections
+    are batch constants (train_mvs4.py's cascade detaches depths).
     """
+    from mvster_tpu.kernels.pallas_scatter import grid_sample_zeros_vjp
+
     x, y = plane_sweep_coords(src_proj, ref_proj, depth_hypo)
-    return grid_sample_zeros(src_feat, x, y)
+    return grid_sample_zeros_vjp(src_feat, x, y)
 
 
 def correlate(

@@ -205,47 +205,50 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
             rx0 = x0i + PADX - xb  # window-relative x0 tap index
             w_x0 = (1.0 - wx) * vx0
             w_x1 = wx * vx1
+            # shared modular gather indices: the tap at window column rx
+            # lives in vreg rx >> 7 at lane rx & 127, so one broadcast index
+            # per tap serves every unrolled window and membership is a
+            # single compare (replaces per-window index prep + range masks;
+            # negative/out-of-window rx yield k_of outside [0, nk) and drop)
+            k_of0 = rx0 >> 7
+            k_of1 = (rx0 + 1) >> 7
+            ixm0 = jnp.broadcast_to(rx0 & (LANE - 1), (cp, LANE))
+            ixm1 = jnp.broadcast_to((rx0 + 1) & (LANE - 1), (cp, LANE))
 
-            def r_body(r, acc_w):
-                row_scr = jnp.clip(i + pb + r, 0, winb * b2 - 1)
-                m0 = (y0_rel == row_scr).astype(jnp.float32)
-                m1 = (y0_rel + 1 == row_scr).astype(jnp.float32)
-                w_row = m0 * w_y0 + m1 * w_y1  # (1, 128)
-
-                # statically unrolled lane windows; excess vregs are
-                # zero-masked via in0/in1 (kcnt bounds them by construction).
-                # A dynamic fori_loop over kcnt measured ~2x SLOWER — Mosaic
-                # lowers the per-iteration dynamic lane-slice poorly.
+            def scan_row(row_scr, w_row, acc_w):
                 tile3 = scratch[
                     pl.ds(row_scr, 1), :, pl.ds(xb, nk * LANE)
                 ].reshape(cp, nk * LANE)
+                a0 = w_row * w_x0
+                a1 = w_row * w_x1
+                # statically unrolled lane windows (a dynamic fori_loop over
+                # the window count measured ~2x SLOWER — Mosaic lowers the
+                # per-iteration dynamic lane-slice poorly)
                 for k3 in range(nk):
                     tile = tile3[:, k3 * LANE:(k3 + 1) * LANE]
-                    ix0 = rx0 - k3 * LANE
-                    in0 = ((ix0 >= 0) & (ix0 < LANE)).astype(jnp.float32)
-                    g0 = jnp.take_along_axis(
-                        tile,
-                        jnp.broadcast_to(
-                            jnp.clip(ix0, 0, LANE - 1), (cp, LANE)
-                        ),
-                        axis=1,
-                    )
-                    ix1 = ix0 + 1
-                    in1 = ((ix1 >= 0) & (ix1 < LANE)).astype(jnp.float32)
-                    g1 = jnp.take_along_axis(
-                        tile,
-                        jnp.broadcast_to(
-                            jnp.clip(ix1, 0, LANE - 1), (cp, LANE)
-                        ),
-                        axis=1,
-                    )
-                    w0 = w_row * w_x0 * in0
-                    w1 = w_row * w_x1 * in1
+                    g0 = jnp.take_along_axis(tile, ixm0, axis=1)
+                    g1 = jnp.take_along_axis(tile, ixm1, axis=1)
+                    w0 = a0 * (k_of0 == k3).astype(jnp.float32)
+                    w1 = a1 * (k_of1 == k3).astype(jnp.float32)
                     acc_w = acc_w + g0 * w0 + g1 * w1
                 return acc_w
 
+            def r_body(r, acc_w):
+                # two scan rows per trip: halves loop overhead; the extra
+                # row is masked out when rcnt is odd
+                for rr in range(2):
+                    rs = 2 * r + rr
+                    row_scr = jnp.clip(i + pb + rs, 0, winb * b2 - 1)
+                    m0 = (y0_rel == row_scr).astype(jnp.float32)
+                    m1 = (y0_rel + 1 == row_scr).astype(jnp.float32)
+                    live = (rs < rcnt).astype(jnp.float32)
+                    w_row = (m0 * w_y0 + m1 * w_y1) * live  # (1, 128)
+                    acc_w = scan_row(row_scr, w_row, acc_w)
+                return acc_w
+
             warped = jax.lax.fori_loop(
-                0, rcnt, r_body, jnp.zeros((cp, LANE), jnp.float32)
+                0, (rcnt + 1) // 2, r_body,
+                jnp.zeros((cp, LANE), jnp.float32),
             )
             acc[pl.ds(i, 1)] = warped.reshape(1, cp, LANE)
             return 0
