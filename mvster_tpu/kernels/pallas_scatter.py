@@ -327,24 +327,35 @@ def scatter_grad_pallas(cot, x, y, src_shape, *, interpret=False):
     return jax.lax.cond(pred, kernel_path, xla_path, operand=None)
 
 
-@jax.custom_vjp
-def grid_sample_zeros_vjp(src, x, y):
-    """grid_sample(zeros, align_corners) with a Pallas-backed source
-    gradient.  TRAINING-PATH op: coordinates receive zero cotangents (in
-    MVSTER they are stop_gradient'ed hypothesis functions — see module
-    docstring); use core.sampling.grid_sample_zeros when coordinate
-    gradients are needed."""
+def _warp_primal(src, x, y):
+    """Forward gather: the Pallas warp-only kernel where supported (bitwise
+    equal to grid_sample_zeros — same tap order), XLA otherwise."""
     from mvster_tpu.core.sampling import grid_sample_zeros
+    from mvster_tpu.kernels.pallas_warp import (
+        pallas_warp_supported,
+        warp_pallas,
+    )
 
+    if pallas_warp_supported(src) and src.shape[1:3] == x.shape[2:]:
+        return warp_pallas(src, x, y)
     return grid_sample_zeros(src, x, y)
 
 
-def _gsv_fwd(src, x, y):
-    from mvster_tpu.core.sampling import grid_sample_zeros
+@jax.custom_vjp
+def grid_sample_zeros_vjp(src, x, y):
+    """grid_sample(zeros, align_corners) with Pallas kernels on BOTH sides:
+    the forward gather (warp-only kernel) and the source gradient (scatter
+    kernel).  TRAINING-PATH op: coordinates receive zero cotangents (in
+    MVSTER they are stop_gradient'ed hypothesis functions — see module
+    docstring); use core.sampling.grid_sample_zeros when coordinate
+    gradients are needed."""
+    return _warp_primal(src, x, y)
 
+
+def _gsv_fwd(src, x, y):
     # src rides along only for its shape/dtype (residuals must be JAX
     # types); its value is dead in the backward and DCE-able
-    return grid_sample_zeros(src, x, y), (x, y, src)
+    return _warp_primal(src, x, y), (x, y, src)
 
 
 def _gsv_bwd(res, cot):

@@ -148,7 +148,7 @@ def pallas_warp_supported(src_feat: jnp.ndarray) -> bool:
 
 def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
                  y_ref, out_ref, scratch, acc, sem, *, b2, winb, nk, d,
-                 group_dim, sub, h_real, w_real, nb, nxb):
+                 group_dim, sub, h_real, w_real, nb, nxb, fuse_cor=True):
     b = pl.program_id(0)
     k = pl.program_id(1)
     j = pl.program_id(2)
@@ -250,11 +250,16 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
                 0, (rcnt + 1) // 2, r_body,
                 jnp.zeros((cp, LANE), jnp.float32),
             )
-            acc[pl.ds(i, 1)] = warped.reshape(1, cp, LANE)
+            if fuse_cor:
+                acc[pl.ds(i, 1)] = warped.reshape(1, cp, LANE)
+            else:
+                out_ref[0, d_i, pl.ds(i, 1)] = warped.reshape(1, cp, LANE)
             return 0
 
         jax.lax.fori_loop(0, b2, row_body, 0)
 
+        if not fuse_cor:
+            continue
         # fused group correlation: mean over C/G sub-channels of warped*ref
         prod = acc[:] * ref_ref[0]  # (B2, CP, 128); padded ref rows are zero
         inv = jnp.float32(1.0 / sub)
@@ -265,11 +270,30 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
 
 
 def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
-                 group_dim, sub, h, w, nb, nxb, cp, wp, interpret=False):
+                 group_dim, sub, h, w, nb, nxb, cp, wp, interpret=False,
+                 fuse_cor=True):
     kernel = functools.partial(
         _warp_kernel, b2=b2, winb=winb, nk=nk, d=d, group_dim=group_dim,
-        sub=sub, h_real=h, w_real=w, nb=nb, nxb=nxb,
+        sub=sub, h_real=h, w_real=w, nb=nb, nxb=nxb, fuse_cor=fuse_cor,
     )
+    if fuse_cor:
+        out_spec = pl.BlockSpec(
+            (1, d, group_dim, b2, LANE),
+            lambda b, k, j, *_: (b, 0, 0, k, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (src_p.shape[0], d, group_dim, h, nxb * LANE), jnp.float32
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (1, d, b2, cp, LANE),
+            lambda b, k, j, *_: (b, 0, k, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (src_p.shape[0], d, h, cp, nxb * LANE), jnp.float32
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(src_p.shape[0], nb, nxb),
@@ -291,11 +315,7 @@ def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, d, group_dim, b2, LANE),
-            lambda b, k, j, *_: (b, 0, 0, k, j),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((winb * b2, cp, wp), jnp.float32),
             pltpu.VMEM((b2, cp, LANE), jnp.float32),
@@ -305,9 +325,7 @@ def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (src_p.shape[0], d, group_dim, h, nxb * LANE), jnp.float32
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(rows, shift, src_p, ref_p, xc, yc)
 
@@ -340,6 +358,29 @@ def warp_correlate_pallas(
     pixels with at least one in-image tap, so wild out-of-frustum
     projections (which contribute zero either way) cannot force a fallback.
     """
+    return _warp_impl(src_feat, ref_feat, x, y, group_dim, True, interpret)
+
+
+def warp_pallas(
+    src_feat: jnp.ndarray,   # (B, H, W, C)
+    x: jnp.ndarray,          # (B, D, H, W) source pixel coords
+    y: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Warp only (no fused correlation) -> (B, D, H, W, C).
+
+    The training-forward primal of grid_sample_zeros_vjp
+    (kernels/pallas_scatter.py): the warped tensor must materialize for
+    the differentiable correlation, but its gather can still run on the
+    kernel instead of XLA's slow row-at-a-time gather.  Bitwise equal to
+    core.sampling.grid_sample_zeros (same tap order), with the usual
+    lax.cond fallback on infeasible geometry.
+    """
+    return _warp_impl(src_feat, src_feat, x, y, 1, False, interpret)
+
+
+def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
     b, hs, ws, c = src_feat.shape
     _, d, h, w = x.shape
     assert (hs, ws) == (h, w), "pallas warp expects matching view resolutions"
@@ -395,28 +436,37 @@ def warp_correlate_pallas(
     meta_row = meta_row.reshape(-1)
     shift = shift.reshape(-1)
 
+    cp = src_p.shape[2]
+
     def kernel_path(_):
         out = _pallas_call(
             meta_row, shift, src_p, ref_p, xc, yc,
             b2=b2, winb=winb, nk=nk, d=kd, group_dim=group_dim, sub=sub,
-            h=h, w=w, nb=nb, nxb=knxb, cp=src_p.shape[2], wp=wp,
-            interpret=interpret,
-        )  # (B, KD, G, H, KNXB*LANE)
+            h=h, w=w, nb=nb, nxb=knxb, cp=cp, wp=wp,
+            interpret=interpret, fuse_cor=fuse_cor,
+        )
+        if fuse_cor:  # (B, KD, G, H, KNXB*LANE)
+            if pack:
+                return jnp.transpose(
+                    out.reshape(b, group_dim, h, nw, d, pc),
+                    (0, 4, 2, 3, 5, 1),
+                ).reshape(b, d, h, w, group_dim)
+            return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
+        # warp-only: (B, KD, H, CP, KNXB*LANE)
         if pack:
-            out = jnp.transpose(
-                out.reshape(b, group_dim, h, nw, d, pc),
-                (0, 4, 2, 3, 5, 1),
-            ).reshape(b, d, h, w, group_dim)
-            return out
-        return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
+            return jnp.transpose(
+                out.reshape(b, h, cp, nw, d, pc), (0, 4, 1, 3, 5, 2)
+            ).reshape(b, d, h, w, cp)[..., :c]
+        return jnp.transpose(out[..., :w], (0, 1, 2, 4, 3))[..., :c]
 
     def xla_path(_):
         from mvster_tpu.core.sampling import grid_sample_zeros
         from mvster_tpu.kernels.cost_volume import correlate
 
-        return correlate(
-            grid_sample_zeros(src_feat, x, y), ref_feat, True, group_dim
-        )
+        warped = grid_sample_zeros(src_feat, x, y)
+        if fuse_cor:
+            return correlate(warped, ref_feat, True, group_dim)
+        return warped
 
     return jax.lax.cond(pred, kernel_path, xla_path, operand=None)
 
