@@ -373,9 +373,10 @@ def warp_pallas(
     The training-forward primal of grid_sample_zeros_vjp
     (kernels/pallas_scatter.py): the warped tensor must materialize for
     the differentiable correlation, but its gather can still run on the
-    kernel instead of XLA's slow row-at-a-time gather.  Bitwise equal to
-    core.sampling.grid_sample_zeros (same tap order), with the usual
-    lax.cond fallback on infeasible geometry.
+    kernel instead of XLA's slow row-at-a-time gather.  Matches
+    core.sampling.grid_sample_zeros to ulp (same taps and masks; weight
+    multiply association differs), with the usual lax.cond fallback on
+    infeasible geometry.
     """
     return _warp_impl(src_feat, src_feat, x, y, 1, False, interpret)
 

@@ -78,3 +78,53 @@ def test_build_cost_volume_pallas_impl_matches():
     np.testing.assert_allclose(
         np.asarray(pls_out), np.asarray(ref_out), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pallas_warp_unpacked_width_and_batch():
+    """Widths not divisible by the depth-group size take the unpacked lane
+    layout; batch > 1 exercises the grid's batch dimension.  Both must
+    match the XLA path (interpret mode)."""
+    from mvster_tpu.core.sampling import grid_sample_zeros
+    from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas
+
+    rng = np.random.default_rng(3)
+    B, D, H, W, C = 2, 4, 32, 40, 6  # W=40 % (128//4=32) != 0 -> unpacked
+    src = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    ref = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    x = jnp.asarray(np.broadcast_to(
+        np.stack([gx * 1.05 + 1.5 * k - 2 for k in range(D)])[None],
+        (B, D, H, W)).astype(np.float32))
+    y = jnp.asarray(np.broadcast_to(
+        np.stack([gy * 0.95 + 0.5 * k + gx * 0.08 for k in range(D)])[None],
+        (B, D, H, W)).astype(np.float32))
+
+    ref_out = correlate(grid_sample_zeros(src, x, y), ref, True, 3)
+    with pltpu.force_tpu_interpret_mode():
+        got = warp_correlate_pallas(src, ref, x, y, 3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref_out), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_warp_pallas_warp_only_matches():
+    """The warp-only output mode (training-forward primal) matches
+    grid_sample_zeros to ulp (same taps/masks; multiply association in the
+    weight products differs, so last-bit equality is not guaranteed)."""
+    from mvster_tpu.core.sampling import grid_sample_zeros
+    from mvster_tpu.kernels.pallas_warp import warp_pallas
+
+    rng = np.random.default_rng(4)
+    B, D, H, W, C = 1, 4, 64, 64, 5
+    src = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    x = jnp.asarray(np.stack(
+        [gx * 1.02 + 2 * k - 3 for k in range(D)])[None].astype(np.float32))
+    y = jnp.asarray(np.stack(
+        [gy * 0.97 + 0.6 * k + gx * 0.05 for k in range(D)])[None].astype(np.float32))
+    ref_out = grid_sample_zeros(src, x, y)
+    with pltpu.force_tpu_interpret_mode():
+        got = warp_pallas(src, x, y)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref_out), rtol=1e-6, atol=1e-6
+    )
