@@ -46,10 +46,11 @@ XLA formulation when violated, so the kernel is never wrong, only
 sometimes bypassed.  Row scans have dynamic trip counts, so wide windows
 cost VMEM scratch, not compute.
 
-Inference-path kernel: the training path keeps the XLA formulation
-(coordinates carry no gradient — hypotheses are stop_gradient'ed — but the
-feature gradients need a scatter, which Mosaic cannot express efficiently
-yet); select with build_cost_volume(impl="pallas").
+Inference forwards use the fused form via build_cost_volume(impl="pallas").
+Training uses the warp-only output mode (warp_pallas) as the forward
+primal of grid_sample_zeros_vjp, paired with the Pallas scatter backward
+(kernels/pallas_scatter.py) — coordinates carry no gradient (hypotheses
+are stop_gradient'ed), so only the source-feature VJP is needed.
 
 Measured (v5e, f32, batch 1, one source view, chained protocol —
 scripts/bench_warp.py, 2026-08-16; max-err vs XLA <= 5e-7, stage4 bitwise):
