@@ -119,9 +119,10 @@ def build_cost_volume(
       ref_proj: (B, 4, 4) composed reference projection.
       src_projs: (V, B, 4, 4) composed source projections.
       depth_hypo: (B, D, H, W).
-      impl: "xla" (default, differentiable, production) or "pallas"
-        (experimental VMEM-fused warp+correlate kernel — interpret-mode only
-        until Mosaic supports multi-vreg gathers; see kernels/pallas_warp.py).
+      impl: "xla" (differentiable — its warp gather/scatter run on the
+        Pallas warp-only/scatter kernels via grid_sample_zeros_vjp) or
+        "pallas" (inference: VMEM-fused warp+correlate kernel, 3-12x the
+        XLA gather per stage; see kernels/pallas_warp.py).
 
     Returns:
       (B, D, H, W, G or C) attention-fused correlation volume.

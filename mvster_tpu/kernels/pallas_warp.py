@@ -400,8 +400,17 @@ def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
     # ~slope * lane_cols + depth-spread, so narrowing the column group from
     # 128 to 128/D cuts the dominant term by D at full vreg utilization —
     # decisive at raw sizes where steep epipolar slopes drive 30+-row scans.
+    # Widths not divisible by the group are OUTPUT-padded (edge coords) to
+    # the next multiple and sliced after: the unpacked layout's out block
+    # (d x cp x band) otherwise overflows VMEM in warp-only mode at wide
+    # narrow-group shapes (e.g. raw stage1, 200 wide, D=8).
     pc = LANE // d if (d > 1 and LANE % d == 0) else 0
-    pack = bool(pc) and w % pc == 0
+    pack = bool(pc)
+    wo = -(-w // pc) * pc if pack else w  # padded OUTPUT width
+    if pack and wo != w:
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
+        y = jnp.pad(y, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
+        ref_feat = jnp.pad(ref_feat, ((0, 0), (0, 0), (0, wo - w), (0, 0)))
 
     # --- XLA-side precompute: padded operands + per-row window metadata
     src_p = _pad_feature(src_feat, b2, wp)
@@ -413,26 +422,26 @@ def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
     nk = min(_nk(src_p.shape[2]), wp // LANE)
 
     if pack:
-        nw = w // pc
+        nw = wo // pc
 
-        def pack_lanes(v):  # (B, D, H, W) -> (B, 1, H, W*D)
+        def pack_lanes(v):  # (B, D, H, WO) -> (B, 1, H, WO*D)
             return jnp.transpose(
                 v.reshape(b, d, h, nw, pc), (0, 2, 3, 1, 4)
-            ).reshape(b, 1, h, w * d)
+            ).reshape(b, 1, h, wo * d)
 
         xc, yc = pack_lanes(x), pack_lanes(y)
         ref_lanes = jnp.broadcast_to(
             ref_feat.reshape(b, h, nw, 1, pc, c), (b, h, nw, d, pc, c)
-        ).reshape(b, h, w * d, c)
-        ref_p = _pad_feature(ref_lanes, b2, w * d + 2 * PADX)
-        kd, knxb = 1, (w * d) // LANE
+        ).reshape(b, h, wo * d, c)
+        ref_p = _pad_feature(ref_lanes, b2, wo * d + 2 * PADX)
+        kd, knxb = 1, (wo * d) // LANE
     else:
         xc = jnp.pad(x, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
         yc = jnp.pad(y, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
         ref_p = _pad_feature(ref_feat, b2, wp)
         kd, knxb = d, nxb
 
-    meta_row, shift, pred = window_meta(xc, yc, h, w, b2, winb, nk, wp)
+    meta_row, shift, pred = window_meta(xc, yc, h, ws, b2, winb, nk, wp)
     # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
     # tile-padded (last two dims to (8,128)) and overflow SMEM at raw sizes
     meta_row = meta_row.reshape(-1)
@@ -452,23 +461,26 @@ def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
                 return jnp.transpose(
                     out.reshape(b, group_dim, h, nw, d, pc),
                     (0, 4, 2, 3, 5, 1),
-                ).reshape(b, d, h, w, group_dim)
+                ).reshape(b, d, h, wo, group_dim)[:, :, :, :w]
             return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
         # warp-only: (B, KD, H, CP, KNXB*LANE)
         if pack:
             return jnp.transpose(
                 out.reshape(b, h, cp, nw, d, pc), (0, 4, 1, 3, 5, 2)
-            ).reshape(b, d, h, w, cp)[..., :c]
+            ).reshape(b, d, h, wo, cp)[:, :, :, :w, :c]
         return jnp.transpose(out[..., :w], (0, 1, 2, 4, 3))[..., :c]
 
     def xla_path(_):
         from mvster_tpu.core.sampling import grid_sample_zeros
         from mvster_tpu.kernels.cost_volume import correlate
 
+        # x/y/ref may carry the output-width padding; slice it back off
         warped = grid_sample_zeros(src_feat, x, y)
         if fuse_cor:
-            return correlate(warped, ref_feat, True, group_dim)
-        return warped
+            return correlate(warped, ref_feat, True, group_dim)[
+                :, :, :, :w
+            ]
+        return warped[:, :, :, :w]
 
     return jax.lax.cond(pred, kernel_path, xla_path, operand=None)
 
