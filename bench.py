@@ -66,9 +66,13 @@ def bench_forward(model, variables, h, w, v, iters=8):
 def bench_train_step(iters=6):
     """Full train step (fwd+bwd+adam) at DTU-mid, batch 2, OT it10 + mono.
 
-    The chain carries TrainState through the loop (real consecutive
-    optimizer steps); the returned scalar is the last step's loss, which
-    depends on every preceding update."""
+    chain_latency carries an f32 scalar, so iterations are serialized
+    through a 1e-12 batch perturbation from a FIXED initial state (each
+    iteration re-runs the step from the same TrainState) — not
+    state-threaded consecutive steps.  The timing is still valid: all
+    fwd+bwd+adam work depends on the perturbed batch, and the returned
+    scalar sums a probe of the updated params so the optimizer update
+    cannot be dead-code-eliminated."""
     import optax
 
     from mvster_tpu.dist.train_step import create_train_state, make_train_step

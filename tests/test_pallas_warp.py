@@ -12,6 +12,20 @@ from mvster_tpu.core.hypothesis import init_inverse_range
 from mvster_tpu.kernels.cost_volume import correlate, warp_src_feature
 
 
+def test_interpret_forced_detects_context():
+    """_interpret_forced reads a private jax config attribute; if a jax
+    upgrade breaks it, pallas_warp_supported would silently return False
+    under force_tpu_interpret_mode and every kernel parity test here would
+    compare XLA against XLA, passing vacuously.  Fail loudly instead."""
+    from mvster_tpu.kernels.pallas_warp import _interpret_forced
+
+    assert not _interpret_forced()
+    with pltpu.force_tpu_interpret_mode():
+        assert _interpret_forced(), (
+            "private-API probe broke: pallas parity tests would be vacuous"
+        )
+
+
 @pytest.mark.parametrize("group_dim", [1, 3])
 def test_pallas_warp_matches_xla(group_dim):
     from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas

@@ -38,6 +38,10 @@ VARIANTS = [
     ("pdam", dict(agg_type="ConvBnReLU3D_PDAM"), dict(agg_type="ConvBnReLU3D_PDAM"), {}),
     ("asff", dict(asff=True), dict(asff=True), {}),
 ]
+# NOTE: no full-model convnext rows — the reference MVS4net only assigns
+# self.feature for arch_mode == "fpn" (MVS4Net.py:36-37), so its convnext
+# modes crash on construction.  The backbones themselves are parity-tested
+# in isolation below (test_convnext_backbone_parity_isolated).
 
 
 @pytest.mark.skipif(not HAS_REF, reason="reference repo unavailable")
@@ -102,6 +106,58 @@ def test_mono_decoder_parity_isolated():
             ref[f"stage{s}"]["mono_depth"].numpy(),
             rtol=1e-4, atol=0.05,
             err_msg=f"stage{s} mono_depth mismatch",
+        )
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo unavailable")
+@pytest.mark.parametrize("kind", ["convnext", "convnext4"])
+def test_convnext_backbone_parity_isolated(kind):
+    """ConvNeXt FPN backbones vs the pure-torch oracles FPN4_convnext /
+    FPN4_convnext4 (mvs4net_utils.py:581-721) with converted weights.
+
+    Isolated (not full-model) because the reference MVS4net never wires
+    these backbones: arch_mode != 'fpn' leaves self.feature unset and the
+    model unconstructable (MVS4Net.py:36-37) — ours wires them for real.
+    """
+    from models.mvs4net_utils import FPN4_convnext, FPN4_convnext4
+
+    from mvster_tpu.nn.fpn import FPN4ConvNeXt, FPN4ConvNeXt4
+    from mvster_tpu.tools.convert_torch_ckpt import convert_state_dict
+
+    t_cls, j_cls = {
+        "convnext": (FPN4_convnext, FPN4ConvNeXt),
+        "convnext4": (FPN4_convnext4, FPN4ConvNeXt4),
+    }[kind]
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+
+    torch.manual_seed(0)
+    tmod = t_cls(8)
+    # layer-scale gamma init (1e-6) crushes encoder outputs to ~1e-6, which
+    # makes the comparison trivially pass at any atol; use a realistic
+    # magnitude as a trained checkpoint would have
+    with torch.no_grad():
+        for mod in tmod.modules():
+            if hasattr(mod, "gamma") and getattr(mod, "gamma", None) is not None:
+                mod.gamma.normal_(0.5, 0.2)
+    tmod.eval()
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+
+    sd = {f"feature.{k}": v for k, v in tmod.state_dict().items()}
+    variables = convert_state_dict(sd)
+    variables = {
+        "params": variables["params"]["feature"],
+        "batch_stats": variables["batch_stats"]["feature"],
+    }
+    ours = j_cls(8).apply(variables, jnp.asarray(x), False)
+    for s in range(1, 5):
+        got = np.asarray(ours[f"stage{s}"])
+        want = ref[f"stage{s}"].numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=2e-4,
+            err_msg=f"{kind} stage{s} feature mismatch",
         )
 
 
