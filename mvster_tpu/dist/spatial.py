@@ -73,3 +73,37 @@ def make_spatial_infer_step(model, mesh: Mesh):
         )
 
     return step
+
+
+def make_spatial_train_step(model, optimizer, mesh: Mesh,
+                            loss_kwargs: dict | None = None):
+    """Full train step over a (data x spatial) mesh: batch on "data", image
+    height on "spatial".  Params/optimizer state are replicated; GSPMD
+    inserts conv halo exchanges for the H-sharded activations and the
+    gradient psum over both mesh axes — the activation-memory scaling
+    regime for training at resolutions that outgrow one chip's HBM.
+
+    Returns step(state, batch) -> (state, scalars, images); callers
+    device_put the operands (see __graft_entry__.dryrun_multichip).
+    """
+    from mvster_tpu.dist.train_step import make_train_step
+
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data"))
+    img_shard = NamedSharding(mesh, P("data", None, "spatial"))  # (B,V,H,W,3)
+    map_shard = NamedSharding(mesh, P("data", "spatial"))        # (B,H,W[,C])
+
+    raw = make_train_step(model, optimizer, loss_kwargs=loss_kwargs, jit=False)
+    batch_shardings = {
+        "imgs": img_shard,
+        "proj_matrices": dp,
+        "depth_values": dp,
+        "depth": map_shard,
+        "mask": map_shard,
+    }
+    step = jax.jit(
+        raw,
+        in_shardings=(rep, batch_shardings),
+        out_shardings=(rep, rep, map_shard),
+    )
+    return step, batch_shardings, rep

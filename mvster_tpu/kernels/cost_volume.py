@@ -46,14 +46,19 @@ def warp_src_feature(
 
     Differentiation note: the source-feature gradient routes through the
     Pallas scatter kernel (kernels/pallas_scatter.py) — XLA's scatter is
-    ~8x the forward gather on TPU and dominated the train step.  The
-    coordinates carry zero cotangents, which is exact here: MVSTER's
-    hypotheses are stop_gradient'ed between stages and the projections
-    are batch constants (train_mvs4.py's cascade detaches depths).
+    ~8x the forward gather on TPU and dominated the train step.
+    grid_sample_zeros_vjp returns ZERO cotangents for the coordinates, so
+    they are stop_gradient'ed here explicitly: the zero-coord-grad
+    contract is enforced structurally rather than assumed from callers
+    (MVSTER detaches hypotheses between stages, MVS4Net.py:95, and the
+    projections are batch constants — but a future caller passing live
+    hypotheses must not silently get wrong gradients).
     """
     from mvster_tpu.kernels.pallas_scatter import grid_sample_zeros_vjp
 
     x, y = plane_sweep_coords(src_proj, ref_proj, depth_hypo)
+    x = jax.lax.stop_gradient(x)
+    y = jax.lax.stop_gradient(y)
     return grid_sample_zeros_vjp(src_feat, x, y)
 
 
@@ -110,7 +115,8 @@ def build_cost_volume(
     attn_temp: float = 2.0,
     attn_fuse_d: bool = True,
     impl: str = "xla",
-) -> jnp.ndarray:
+    with_fallbacks: bool = False,
+):
     """Fused multi-view cost volume with online cross-view normalization.
 
     Args:
@@ -123,13 +129,21 @@ def build_cost_volume(
         Pallas warp-only/scatter kernels via grid_sample_zeros_vjp) or
         "pallas" (inference: VMEM-fused warp+correlate kernel, 3-12x the
         XLA gather per stage; see kernels/pallas_warp.py).
+      with_fallbacks: also return an int32 scalar counting source views
+        that did NOT run on the requested Pallas kernel (runtime geometry
+        predicate failed, or the static VMEM guard rejected the stage).
+        Always 0 for impl="xla".  The cond predicate is computed anyway,
+        so this costs nothing — it makes silent degradation observable
+        (surfaced as the "warp_fallbacks" model output).
 
     Returns:
-      (B, D, H, W, G or C) attention-fused correlation volume.
+      (B, D, H, W, G or C) attention-fused correlation volume
+      [, fallback count if with_fallbacks].
     """
     c = ref_feat.shape[-1]
     num_views = len(src_feats)
-    use_pallas = impl == "pallas" and group_cor
+    want_pallas = impl == "pallas" and group_cor
+    use_pallas = want_pallas
     if use_pallas:
         from mvster_tpu.kernels.pallas_warp import pallas_warp_supported
 
@@ -137,6 +151,9 @@ def build_cost_volume(
         # oversized stages fall back to the XLA formulation (same numerics)
         use_pallas = pallas_warp_supported(src_feats[0])
 
+    fallbacks = jnp.asarray(
+        0 if use_pallas or not want_pallas else num_views, jnp.int32
+    )
     weight_sum = jnp.asarray(1e-8, jnp.float32)
     feats_sum = jnp.asarray(0.0, jnp.float32)
     for v in range(num_views):
@@ -145,9 +162,10 @@ def build_cost_volume(
             from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas
 
             x, y = plane_sweep_coords(src_projs[v], ref_proj, depth_hypo)
-            cor = warp_correlate_pallas(
-                src_feats[v], ref_feat, x, y, group_dim
+            cor, pred = warp_correlate_pallas(
+                src_feats[v], ref_feat, x, y, group_dim, return_pred=True
             )
+            fallbacks = fallbacks + (1 - pred.astype(jnp.int32))
         else:
             warped = warp_src_feature(
                 src_feats[v], src_projs[v], ref_proj, depth_hypo
@@ -163,5 +181,7 @@ def build_cost_volume(
             feats_sum = feats_sum + w[:, None, :, :, None] * cor
 
     if attn_fuse_d:
-        return feats_sum / weight_sum[..., None]
-    return feats_sum / weight_sum[:, None, :, :, None]
+        out = feats_sum / weight_sum[..., None]
+    else:
+        out = feats_sum / weight_sum[:, None, :, :, None]
+    return (out, fallbacks) if with_fallbacks else out

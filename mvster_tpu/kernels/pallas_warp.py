@@ -84,9 +84,19 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 PADX = 128          # left/right lane margin on the padded source
 _ROW_BIAS = 4096    # bias for the packed per-row scan base (see window_meta)
-# scratch budget for the source row window; calls whose window exceeds
-# this fall back to the XLA formulation
-MAX_FEATURE_BYTES = 8 << 20
+# scratch budget for the source row window (VMEM is ~16 MB/core; the other
+# kernel buffers — ref/coords/out blocks, the acc scratch — total < 2 MB).
+# Calls whose 2-band minimum window exceeds this fall back to XLA.
+MAX_FEATURE_BYTES = 12 << 20
+
+# Geometry-fallback observability: the lax.cond fallback is silent by
+# design (numerics never change), but a production forward quietly
+# degrading to the 3-12x slower XLA gather must be visible.  The predicate
+# is therefore threaded OUT as a model output ("warp_fallbacks" per stage,
+# summed by build_cost_volume(with_fallbacks=True)) rather than reported
+# via jax.debug.callback — the hosted axon runtime does not support host
+# callbacks at all (UNIMPLEMENTED at compile time), and an output scalar
+# is free while a callback would cost a device->host sync per call.
 
 
 def _band_rows(h: int) -> int:
@@ -98,16 +108,22 @@ def _band_rows(h: int) -> int:
     return 0
 
 
-def _window_bands(cp: int) -> int:
-    """Source-window height in bands: wider for narrow-channel (late,
-    high-parallax) stages, narrower when channels make bands heavy.
-    The row-scan loop has a dynamic trip count, so a wider window costs
-    only VMEM scratch, not compute."""
-    if cp <= 8:
-        return 8
-    if cp <= 16:
-        return 6
-    return 4
+def _window_bands(cp: int, wp: int, b2: int, nb: int, w: int) -> int:
+    """Source-window height in bands, from the VMEM budget + a geometry
+    envelope.  The row-scan loop has a dynamic trip count, so a wider
+    window costs VMEM scratch and band-DMA volume, not compute.
+
+    The window must absorb three y-effects per band (diagnosed on
+    converging look-at rigs, tests/test_warp_geometry.py): the IMAGE-WIDE
+    epipolar tilt (the per-band DMA shift is shared across the whole row,
+    so a tilt slope t costs ~t*w rows — the dominant term at wide
+    baselines; ~0.10-0.12*w at a 15-20 degree DTU pair), the band's own
+    row drift, and the packed depth spread.  The round-2 fixed tiers
+    (8/6/4 bands) made even a 10deg-azimuth + 5deg-elevation DTU rig fall
+    back at raw stage 4 — the most expensive stage."""
+    budget = MAX_FEATURE_BYTES // (b2 * cp * wp * 4)
+    tilt = -(-(int(0.15 * w) + 2 * b2 + 32) // b2)
+    return max(2, min(nb + 2, budget, tilt))
 
 
 def _nk(cp: int) -> int:
@@ -142,7 +158,7 @@ def pallas_warp_supported(src_feat: jnp.ndarray) -> bool:
         return False
     cp = -(-c // 8) * 8
     wp = -(-w // LANE) * LANE + 2 * PADX
-    winb = min(_window_bands(cp), h // b2 + 2)
+    winb = _window_bands(cp, wp, b2, h // b2, w)
     scratch_bytes = winb * b2 * cp * wp * 4
     return scratch_bytes <= MAX_FEATURE_BYTES
 
@@ -350,7 +366,8 @@ def warp_correlate_pallas(
     group_dim: int,
     *,
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_pred: bool = False,
+):
     """Fused warp + group correlation -> (B, D, H, W, G), channels-last.
 
     Requires src and ref at the same resolution (the MVSTER contract).
@@ -358,8 +375,14 @@ def warp_correlate_pallas(
     plane-sweep geometry exceeds the kernel's static windows — decided over
     pixels with at least one in-image tap, so wild out-of-frustum
     projections (which contribute zero either way) cannot force a fallback.
+
+    return_pred=True also returns the bool predicate (True = ran on the
+    kernel) so callers can surface silent degradation (build_cost_volume
+    aggregates it into the per-stage "warp_fallbacks" model output).
     """
-    return _warp_impl(src_feat, ref_feat, x, y, group_dim, True, interpret)
+    out, pred = _warp_impl(src_feat, ref_feat, x, y, group_dim, True,
+                           interpret)
+    return (out, pred) if return_pred else out
 
 
 def warp_pallas(
@@ -379,15 +402,31 @@ def warp_pallas(
     multiply association differs), with the usual lax.cond fallback on
     infeasible geometry.
     """
-    return _warp_impl(src_feat, src_feat, x, y, 1, False, interpret)
+    return _warp_impl(src_feat, src_feat, x, y, 1, False, interpret)[0]
 
 
-def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
-    b, hs, ws, c = src_feat.shape
-    _, d, h, w = x.shape
-    assert (hs, ws) == (h, w), "pallas warp expects matching view resolutions"
-    assert c % group_dim == 0
-    sub = c // group_dim
+def _coord_windows(c: int, x, y):
+    """Shared layout + window-metadata computation for a kernel call with
+    `c`-channel features and plane-sweep coords x/y ((B, D, H, W)).
+
+    Returns (meta_row, shift, pred, layout) where layout carries the
+    static tile geometry plus the (possibly output-width-padded) x/y and
+    the lane-layout coords xc/yc.  `warp_predicate` and
+    scripts/probe_warp_pred.py evaluate the EXACT production predicate by
+    calling this — any layout change here changes both the kernel call and
+    its feasibility probe together.
+
+    Depth-packed lane layout: all D hypotheses share each 128-lane vreg
+    (D groups of 128/D columns).  The scan count per row is
+    ~slope * lane_cols + depth-spread, so narrowing the column group from
+    128 to 128/D cuts the dominant term by D at full vreg utilization —
+    decisive at raw sizes where steep epipolar slopes drive 30+-row scans.
+    Widths not divisible by the group are OUTPUT-padded (edge coords) to
+    the next multiple and sliced after: the unpacked layout's out block
+    (d x cp x band) otherwise overflows VMEM in warp-only mode at wide
+    narrow-group shapes (e.g. raw stage1, 200 wide, D=8).
+    """
+    b, d, h, w = x.shape
     b2 = _band_rows(h)
     assert b2, f"height {h} not divisible by 8"
     nb = h // b2
@@ -395,31 +434,20 @@ def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
     wc = nxb * LANE
     wp = wc + 2 * PADX
 
-    # --- depth-packed lane layout: all D hypotheses share each 128-lane
-    # vreg (D groups of 128/D columns).  The scan count per row is
-    # ~slope * lane_cols + depth-spread, so narrowing the column group from
-    # 128 to 128/D cuts the dominant term by D at full vreg utilization —
-    # decisive at raw sizes where steep epipolar slopes drive 30+-row scans.
-    # Widths not divisible by the group are OUTPUT-padded (edge coords) to
-    # the next multiple and sliced after: the unpacked layout's out block
-    # (d x cp x band) otherwise overflows VMEM in warp-only mode at wide
-    # narrow-group shapes (e.g. raw stage1, 200 wide, D=8).
     pc = LANE // d if (d > 1 and LANE % d == 0) else 0
     pack = bool(pc)
     wo = -(-w // pc) * pc if pack else w  # padded OUTPUT width
     if pack and wo != w:
         x = jnp.pad(x, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
         y = jnp.pad(y, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
-        ref_feat = jnp.pad(ref_feat, ((0, 0), (0, 0), (0, wo - w), (0, 0)))
 
-    # --- XLA-side precompute: padded operands + per-row window metadata
-    src_p = _pad_feature(src_feat, b2, wp)
-    # cap the band window at the padded buffer height (nb + 2 bands): a
+    cp = -(-c // 8) * 8
+    # _window_bands caps at the padded buffer height (nb + 2 bands): a
     # wider window would make the per-band DMA slice unsatisfiable at small
     # images and invert the shift clamp range
-    winb = min(_window_bands(src_p.shape[2]), nb + 2)
+    winb = _window_bands(cp, wp, b2, nb, w)
     # cap the lane window at the padded source width (small images)
-    nk = min(_nk(src_p.shape[2]), wp // LANE)
+    nk = min(_nk(cp), wp // LANE)
 
     if pack:
         nw = wo // pc
@@ -430,24 +458,63 @@ def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
             ).reshape(b, 1, h, wo * d)
 
         xc, yc = pack_lanes(x), pack_lanes(y)
-        ref_lanes = jnp.broadcast_to(
-            ref_feat.reshape(b, h, nw, 1, pc, c), (b, h, nw, d, pc, c)
-        ).reshape(b, h, wo * d, c)
-        ref_p = _pad_feature(ref_lanes, b2, wo * d + 2 * PADX)
         kd, knxb = 1, (wo * d) // LANE
     else:
         xc = jnp.pad(x, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
         yc = jnp.pad(y, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
-        ref_p = _pad_feature(ref_feat, b2, wp)
         kd, knxb = d, nxb
 
-    meta_row, shift, pred = window_meta(xc, yc, h, ws, b2, winb, nk, wp)
+    meta_row, shift, pred = window_meta(xc, yc, h, w, b2, winb, nk, wp)
+    layout = dict(
+        b2=b2, nb=nb, nxb=nxb, wc=wc, wp=wp, pack=pack, pc=pc, wo=wo,
+        cp=cp, winb=winb, nk=nk, kd=kd, knxb=knxb, x=x, y=y, xc=xc, yc=yc,
+    )
+    return meta_row, shift, pred, layout
+
+
+def warp_predicate(channels: int, x, y) -> jnp.ndarray:
+    """The kernel's runtime geometry-feasibility predicate, evaluated
+    without running the kernel (same `_coord_windows` the production call
+    uses).  True = this geometry would run on the Pallas kernel; False =
+    the lax.cond would take the XLA fallback.  Drives the geometry-sweep
+    tests (tests/test_warp_geometry.py) and scripts/probe_warp_pred.py."""
+    _, _, pred, _ = _coord_windows(channels, x, y)
+    return pred
+
+
+def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
+    b, hs, ws, c = src_feat.shape
+    _, d, h, w = x.shape
+    assert (hs, ws) == (h, w), "pallas warp expects matching view resolutions"
+    assert c % group_dim == 0
+    sub = c // group_dim
+
+    meta_row, shift, pred, L = _coord_windows(c, x, y)
+    x, y, xc, yc = L["x"], L["y"], L["xc"], L["yc"]
+    b2, wp, wo, pack, pc = L["b2"], L["wp"], L["wo"], L["pack"], L["pc"]
+    nb, nxb, winb, nk = L["nb"], L["nxb"], L["winb"], L["nk"]
+    kd, knxb, cp = L["kd"], L["knxb"], L["cp"]
+
+    # --- XLA-side precompute: padded operands
+    src_p = _pad_feature(src_feat, b2, wp)
+    assert src_p.shape[2] == cp
+    if pack:
+        nw = wo // pc
+        if wo != w:
+            ref_feat = jnp.pad(
+                ref_feat, ((0, 0), (0, 0), (0, wo - w), (0, 0))
+            )
+        ref_lanes = jnp.broadcast_to(
+            ref_feat.reshape(b, h, nw, 1, pc, c), (b, h, nw, d, pc, c)
+        ).reshape(b, h, wo * d, c)
+        ref_p = _pad_feature(ref_lanes, b2, wo * d + 2 * PADX)
+    else:
+        ref_p = _pad_feature(ref_feat, b2, wp)
+
     # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
     # tile-padded (last two dims to (8,128)) and overflow SMEM at raw sizes
     meta_row = meta_row.reshape(-1)
     shift = shift.reshape(-1)
-
-    cp = src_p.shape[2]
 
     def kernel_path(_):
         out = _pallas_call(
@@ -482,7 +549,7 @@ def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
             ]
         return warped[:, :, :, :w]
 
-    return jax.lax.cond(pred, kernel_path, xla_path, operand=None)
+    return jax.lax.cond(pred, kernel_path, xla_path, operand=None), pred
 
 
 def window_meta(xc, yc, h, w, b2, winb, nk, wp_src=None):

@@ -69,9 +69,11 @@ class MVS4NetConfig:
     compute_dtype: str = "float32"
     # plane-sweep warp implementation for inference forwards: "pallas"
     # (fused VMEM kernel, ~7x the XLA gather at stage 4 — kernels/
-    # pallas_warp.py) or "xla".  Training always uses the differentiable
-    # XLA formulation; the kernel falls back to it at runtime when the
-    # geometry exceeds its static windows, so numerics are unchanged.
+    # pallas_warp.py) or "xla".  Training uses the differentiable
+    # formulation (Pallas warp-only forward + Pallas scatter backward via
+    # grid_sample_zeros_vjp; pure XLA only in the geometry-fallback
+    # branch).  All kernels fall back to XLA at runtime when the geometry
+    # exceeds their static windows, so numerics are unchanged.
     warp_impl: str = "pallas"
 
     @classmethod
@@ -221,7 +223,7 @@ class MVS4Net(nn.Module):
         ref_proj = composed[:, 0]
         src_projs = [composed[:, i] for i in range(1, composed.shape[1])]
 
-        cor_feats = build_cost_volume(
+        cor_feats, warp_fallbacks = build_cost_volume(
             ref_feat,
             src_feats,
             ref_proj,
@@ -232,7 +234,8 @@ class MVS4Net(nn.Module):
             attn_temp=cfg.attn_temp,
             attn_fuse_d=cfg.attn_fuse_d,
             impl=warp_impl,
-        )  # (B, D, H, W, G|C)
+            with_fallbacks=True,
+        )  # (B, D, H, W, G|C), int32 scalar
 
         if cfg.pos_enc == 1:
             cor_feats = PosEncSine(name=f"pos_enc_{stage_idx}")(cor_feats, depth_hypo)
@@ -276,6 +279,10 @@ class MVS4Net(nn.Module):
             "photometric_confidence": conf,
             "hypo_depth": depth_hypo,
             "attn_weight": attn_weight,
+            # source views that did NOT run on the requested Pallas warp
+            # kernel this stage (0 = all on-kernel; the axon runtime has no
+            # host callbacks, so observability is an output, not a hook)
+            "warp_fallbacks": warp_fallbacks,
         }
         if cfg.inverse_depth:
             itv = 1.0 / depth_hypo[:, 2] - 1.0 / depth_hypo[:, 1]  # (B, H, W)

@@ -52,6 +52,11 @@ def save_depth(args, model, variables, testlist):
     """Inference over all scenes; returns total forward time + sample count."""
     dataset_cls = find_dataset_def(args.dataset)
     total_time, total_samples = 0.0, 0  # mutated by drain() below
+    # silent lax.cond geometry fallbacks to the slow XLA warp, accumulated
+    # from the "warp_fallbacks" model output: rigs whose epipolar geometry
+    # exceeds the kernel's static windows would otherwise degrade inference
+    # ~2.5-4x with no signal anywhere
+    total_fallbacks = 0
 
     # `vs` (the param tree) MUST be a jit argument, not a closure: closed-over
     # arrays become embedded constants that the axon runtime re-ships per
@@ -65,6 +70,9 @@ def save_depth(args, model, variables, testlist):
         result = {
             "depth": out["depth"],
             "confidence": out["photometric_confidence"],
+            "warp_fallbacks": sum(
+                out[f"stage{s}"]["warp_fallbacks"] for s in range(1, 5)
+            ),
         }
         for s in range(1, 5):
             result[f"stage{s}_depth"] = out[f"stage{s}"]["depth"]
@@ -123,12 +131,13 @@ def save_depth(args, model, variables, testlist):
             return chunk, real, start, out, t0
 
         def drain(pending):
-            nonlocal total_time, total_samples
+            nonlocal total_time, total_samples, total_fallbacks
             chunk, real, start, out, t0 = pending
             jax.block_until_ready(out["depth"])
             total_time += time.time() - t0
             total_samples += real
             out = jax.device_get(out)
+            total_fallbacks += int(out.pop("warp_fallbacks"))
             for bi in range(real):
                 _write_view_outputs(
                     args, chunk[bi],
@@ -147,6 +156,11 @@ def save_depth(args, model, variables, testlist):
         if args.dataset.startswith("general") and args.fix_res:
             carried_fixed_wh = dataset.fixed_wh
     print(f"avg time: {total_time / max(total_samples, 1):.4f} s/view")
+    print(
+        f"pallas warp fallbacks: {total_fallbacks} stage-view warps took "
+        f"the XLA path"
+        + (" (INVESTIGATE: inference ran degraded)" if total_fallbacks else "")
+    )
     return total_time, total_samples
 
 

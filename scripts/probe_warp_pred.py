@@ -25,13 +25,7 @@ def main(h=512, w=640, v=5):
         init_inverse_range,
         schedule_inverse_range,
     )
-    from mvster_tpu.kernels.pallas_warp import (
-        LANE,
-        _band_rows,
-        _nk,
-        _window_bands,
-        window_meta,
-    )
+    from mvster_tpu.kernels.pallas_warp import _coord_windows
     from mvster_tpu.models import MVS4Net, MVS4NetConfig
 
     cfg = MVS4NetConfig.dtu_default(mono=False)
@@ -68,34 +62,18 @@ def main(h=512, w=640, v=5):
             )
         prev = st
 
-        b2 = _band_rows(hs)
-        cp = -(-c // 8) * 8
-        winb = min(_window_bands(cp), hs // b2 + 2)
-        wp = -(-ws // LANE) * LANE + 256
-        nk = min(_nk(cp), wp // LANE)
-        pc = LANE // nd if (nd > 1 and LANE % nd == 0) else 0
-        pack = bool(pc) and ws % pc == 0
         for view in range(1, feat.shape[1]):
             x, y = plane_sweep_coords(proj[:, view], proj[:, 0], hypo)
-            if pack:  # production depth-packed lane layout
-                def pl_(v):
-                    return jnp.transpose(
-                        v.reshape(1, nd, hs, ws // pc, pc), (0, 2, 3, 1, 4)
-                    ).reshape(1, 1, hs, ws * nd)
-                xc, yc = pl_(x), pl_(y)
-            else:
-                wc = -(-ws // LANE) * LANE
-                xc = jnp.pad(x, ((0, 0),) * 3 + ((0, wc - ws),), mode="edge")
-                yc = jnp.pad(y, ((0, 0),) * 3 + ((0, wc - ws),), mode="edge")
-            meta_row, shift, pred = window_meta(
-                xc, yc, hs, ws, b2, winb, nk, wp
-            )
+            # the EXACT production layout + predicate (_coord_windows is
+            # what _warp_impl itself calls)
+            meta_row, shift, pred, L = _coord_windows(c, x, y)
             word = np.asarray(meta_row)
             rcnt = word & 0xFF
             print(
-                f"{sk} view{view} {hs}x{ws} C{c} D{nd} b2={b2} winb={winb} "
-                f"pack={pack}: pred={bool(pred)} rcnt mean {rcnt.mean():.1f} "
-                f"max {rcnt.max()} (lim {winb * b2})"
+                f"{sk} view{view} {hs}x{ws} C{c} D{nd} b2={L['b2']} "
+                f"winb={L['winb']} pack={L['pack']}: pred={bool(pred)} "
+                f"rcnt mean {rcnt.mean():.1f} max {rcnt.max()} "
+                f"(lim {L['winb'] * L['b2']})"
             )
 
 

@@ -65,6 +65,11 @@ def main():
         print(f"  stage{s}: depth {d.shape}, hypo {np.asarray(out[f'stage{s}']['hypo_depth']).shape}")
     assert np.isfinite(depth).all(), "non-finite depths!"
     assert depth.min() >= 0, "negative depth!"
+    fb = sum(int(out[f"stage{s}"]["warp_fallbacks"]) for s in range(1, 5))
+    print(
+        f"pallas warp fallbacks: {fb}/{4 * (v - 1)} stage-views took the "
+        f"XLA path" + (" (DEGRADED)" if fb else "")
+    )
     print("OK")
 
 
