@@ -124,6 +124,7 @@ def blend_loss(
     ot_iter: int = 10,
     ot_eps: float = 1.0,
     ot_continous: bool = False,
+    ot_backend: str = "xla",
     mono: bool = False,
 ):
     """BlendedMVS fine-tune variant: adds depth-normalized EPE / err1 / err3.
@@ -140,7 +141,8 @@ def blend_loss(
     total, aux = mvs4net_loss(
         outputs, depth_gt_ms, mask_ms,
         stage_lw=stage_lw, l1ot_lw=l1ot_lw, inverse_depth=inverse_depth,
-        ot_iter=ot_iter, ot_eps=ot_eps, ot_continous=ot_continous, mono=mono,
+        ot_iter=ot_iter, ot_eps=ot_eps, ot_continous=ot_continous,
+        ot_backend=ot_backend, mono=mono,
     )
     last_key, last = _stage_items(outputs)[-1]
     mask = mask_ms[last_key] > 0.5

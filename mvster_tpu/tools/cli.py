@@ -71,6 +71,7 @@ def loss_kwargs_from_args(args, mono: bool) -> dict:
         ot_iter=args.ot_iter,
         ot_eps=args.ot_eps,
         ot_continous=args.ot_continous,
+        ot_backend=args.ot_backend,
         mono=mono,
     )
 
@@ -104,6 +105,10 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--ot_continous", action="store_true")
     p.add_argument("--ot_iter", type=int, default=10)
     p.add_argument("--ot_eps", type=float, default=1)
+    p.add_argument("--ot_backend", default="xla", choices=["xla", "pallas"],
+                   help="Sinkhorn OT loss implementation: xla (remat'd scan) "
+                        "or pallas (VMEM-fused fwd+bwd kernel, "
+                        "kernels/pallas_sinkhorn.py; discrete OT only)")
     p.add_argument("--rt", action="store_true")
     p.add_argument("--use_raw_train", action="store_true")
     p.add_argument("--num_workers", type=int, default=0,

@@ -1,0 +1,193 @@
+"""Component map of the MVS4Net forward, measured with chain_latency.
+
+Produces the per-component latency decomposition (FPN, per-stage cost
+volume / regularizer / winner-take-all post) that must sum to the full
+forward within noise — the reconciliation the round-2 verdict demanded
+(three mutually inconsistent mid decompositions) and the raw-size
+diagnosis it found missing.  All timings use the chained protocol
+(utils/profiling.chain_latency); wall-clock + block_until_ready is invalid
+through the hosted axon runtime (BENCHNOTES.md).
+
+Component inputs are PRODUCTION shapes: a debug forward on the bench
+geometry (tests/helpers.synthetic_sample) supplies each stage's features
+and projections, and the hypothesis schedule is recomputed exactly as
+MVS4Net._stage does.  The committed results table lives in BENCHNOTES.md.
+
+Usage: python scripts/bench_components.py [H W [V]] [--dtype bfloat16]
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def stage_inputs(cfg, out, dvals):
+    """Per-stage (features, projections, hypothesis) exactly as the
+    production cascade computed them (debug forward + recomputed schedule)."""
+    from mvster_tpu.core.hypothesis import (
+        init_inverse_range,
+        schedule_inverse_range,
+    )
+
+    stages = []
+    prev = None
+    for si in range(cfg.num_stage):
+        st = out[f"stage{si + 1}"]
+        feat = st["debug_features"]
+        proj = st["debug_proj"]
+        hs, ws = feat.shape[2], feat.shape[3]
+        nd = cfg.stage_splits[si]
+        if si == 0:
+            hypo = init_inverse_range(dvals, nd, hs, ws)
+        else:
+            hypo = schedule_inverse_range(
+                prev["inverse_min_depth"], prev["inverse_max_depth"],
+                nd, hs, ws,
+            )
+        prev = st
+        stages.append((feat, proj, hypo))
+    return stages
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dtype = "bfloat16" if "--dtype" in " ".join(sys.argv) and "bfloat16" in sys.argv else "float32"
+    h, w = (int(args[0]), int(args[1])) if len(args) >= 2 else (512, 640)
+    v = int(args[2]) if len(args) >= 3 else 5
+
+    from helpers import synthetic_sample
+
+    from mvster_tpu.core.sampling import resize_bilinear_align_corners
+    from mvster_tpu.kernels.cost_volume import build_cost_volume
+    from mvster_tpu.models import MVS4Net, MVS4NetConfig
+    from mvster_tpu.nn.fpn import FPN4
+    from mvster_tpu.nn.reg import Reg2d
+    from mvster_tpu.utils.profiling import chain_latency
+
+    cfg = MVS4NetConfig.dtu_default(mono=False, compute_dtype=dtype)
+    cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    model = MVS4Net(cfg)
+    s = synthetic_sample(0, batch=1, nviews=v, h=h, w=w)
+    imgs = jnp.asarray(s["imgs"])
+    projs = {k: jnp.asarray(p) for k, p in s["proj_matrices"].items()}
+    dvals = jnp.asarray(s["depth_values"])
+
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), imgs, projs, dvals,
+                           train=False)
+    )()
+    out = jax.jit(
+        lambda vs, im: model.apply(vs, im, projs, dvals, train=False,
+                                   return_debug=True)
+    )(variables, imgs)
+    jax.block_until_ready(out["depth"])
+
+    # --- full forward (the headline this table must sum to)
+    def full(carry, vs, im):
+        o = model.apply(vs, im + 1e-12 * carry, projs, dvals, train=False)
+        return jnp.mean(o["depth"]) + jnp.mean(o["photometric_confidence"])
+
+    t_full = chain_latency(full, variables, imgs, iters=4)
+    print(f"full forward: {t_full * 1e3:8.1f} ms   ({h}x{w}, {v} views, "
+          f"{dtype})")
+
+    # --- FPN over all V views (one folded conv batch, as production runs it)
+    fpn = FPN4(cfg.fpn_base_channel, dcn=cfg.dcn, dtype=cdt)
+    flat = imgs.reshape(v, h, w, 3)
+    fvars = jax.jit(lambda: fpn.init(jax.random.PRNGKey(0), flat, False))()
+
+    def fpn_fn(carry, fv, x):
+        o = fpn.apply(fv, x + 1e-12 * carry, False)
+        return sum(jnp.mean(o[k].astype(jnp.float32)) for k in o)
+
+    t_fpn = chain_latency(fpn_fn, fvars, flat, iters=4)
+    print(f"fpn ({v} views): {t_fpn * 1e3:8.1f} ms")
+
+    stages = stage_inputs(cfg, out, dvals)
+    t_cv_all = t_reg_all = t_post_all = 0.0
+    for si, (feat, proj, hypo) in enumerate(stages):
+        g = cfg.group_cor_dim[si]
+        nd = cfg.stage_splits[si]
+        hs, ws = feat.shape[2], feat.shape[3]
+        if cdt != jnp.float32:
+            feat = feat.astype(jnp.float32)  # production upcasts for pallas
+
+        def cv_fn(carry, f, hy):
+            ref = f[:, 0] + 1e-12 * carry
+            srcs = [f[:, i] for i in range(1, f.shape[1])]
+            cor = build_cost_volume(
+                ref, srcs, proj[:, 0], [proj[:, i] for i in range(1, v)],
+                hy, group_cor=cfg.group_cor, group_dim=g,
+                attn_temp=cfg.attn_temp, attn_fuse_d=cfg.attn_fuse_d,
+                impl="pallas",
+            )
+            return jnp.mean(cor)
+
+        t_cv = chain_latency(cv_fn, feat, hypo, iters=4)
+
+        cor = jax.jit(
+            lambda f, hy: build_cost_volume(
+                f[:, 0], [f[:, i] for i in range(1, v)], proj[:, 0],
+                [proj[:, i] for i in range(1, v)], hy,
+                group_cor=cfg.group_cor, group_dim=g,
+                attn_temp=cfg.attn_temp, attn_fuse_d=cfg.attn_fuse_d,
+                impl="xla",
+            )
+        )(feat, hypo)
+        reg = Reg2d(cfg.reg_channel, cfg.agg_type, dtype=cdt)
+        rvars = jax.jit(lambda: reg.init(jax.random.PRNGKey(0), cor, False))()
+
+        def reg_fn(carry, rv, x):
+            return jnp.mean(
+                reg.apply(rv, x + 1e-12 * carry, False).astype(jnp.float32)
+            )
+
+        t_reg = chain_latency(reg_fn, rvars, cor, iters=4)
+
+        logits = jax.jit(lambda rv, x: reg.apply(rv, x, False))(rvars, cor)
+        up = 2 ** (3 - si)
+
+        def post_fn(carry, lg, hy):
+            attn = jax.nn.softmax(
+                (lg + 1e-12 * carry).astype(jnp.float32), axis=1
+            )
+            idx = jnp.argmax(attn, axis=1)
+            d_iota = jnp.arange(attn.shape[1], dtype=idx.dtype)
+            onehot = idx[:, None] == d_iota[None, :, None, None]
+            depth = jnp.sum(hy * onehot, axis=1)
+            conf = jnp.max(attn, axis=1)
+            if up > 1:
+                conf = resize_bilinear_align_corners(
+                    conf[..., None], conf.shape[1] * up, conf.shape[2] * up
+                )[..., 0]
+            itv = 1.0 / hy[:, 2] - 1.0 / hy[:, 1]
+            return (jnp.mean(depth) + jnp.mean(conf) + jnp.mean(itv))
+
+        t_post = chain_latency(post_fn, logits, hypo, iters=4)
+
+        print(
+            f"stage{si + 1} ({hs:4d}x{ws:4d} C{feat.shape[-1]:2d} D{nd}): "
+            f"cost-volume {t_cv * 1e3:7.2f} ms | reg2d {t_reg * 1e3:7.2f} ms"
+            f" | post {t_post * 1e3:6.2f} ms"
+        )
+        t_cv_all += t_cv
+        t_reg_all += t_reg
+        t_post_all += t_post
+
+    t_sum = t_fpn + t_cv_all + t_reg_all + t_post_all
+    print(
+        f"\ncomponent sums: fpn {t_fpn * 1e3:.1f} + cost-volume "
+        f"{t_cv_all * 1e3:.1f} + reg2d {t_reg_all * 1e3:.1f} + post "
+        f"{t_post_all * 1e3:.1f} = {t_sum * 1e3:.1f} ms "
+        f"vs full {t_full * 1e3:.1f} ms "
+        f"(residual {(t_full - t_sum) * 1e3:+.1f} ms)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,13 @@
 """Benchmark: Pallas fused Sinkhorn loss vs XLA (+remat) on the real TPU.
 
-Measures value+grad wall time at the cascade's realistic stage shapes.
+Measures value+grad latency at the cascade's realistic stage shapes with
+the chained protocol (utils/profiling.chain_latency) — wall-clock +
+block_until_ready is invalid through the hosted axon runtime
+(BENCHNOTES.md), which is what this script used before round 3.
+The committed verdict lives in BENCHNOTES.md ("Sinkhorn backend").
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -14,18 +17,19 @@ import numpy as np
 
 from mvster_tpu.core.sinkhorn import sinkhorn
 from mvster_tpu.kernels.pallas_sinkhorn import sinkhorn_loss_pallas
+from mvster_tpu.utils.profiling import chain_latency
 
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return min(times)
+def timeit(vg_fn, attn, *rest, iters=12):
+    """Chained per-iteration latency of loss+grad: the carry perturbs the
+    attention input and the returned scalar folds the gradient sum so the
+    whole backward is on the measured path."""
+
+    def one(carry, a, *r):
+        loss, grad = vg_fn(a + 1e-12 * carry, *r)
+        return loss + jnp.sum(grad) * 1e-20
+
+    return chain_latency(one, attn, *rest, iters=iters)
 
 
 def main():
@@ -60,8 +64,10 @@ def main():
         lp, gp = pls_vg(attn, gt, hypo, mask)
         err_l = abs(float(lx) - float(lp)) / abs(float(lx))
         err_g = float(jnp.max(jnp.abs(gx - gp)))
-        t_xla = timeit(lambda a: xla_vg(a, gt, hypo, mask)[0], attn)
-        t_pls = timeit(lambda a: pls_vg(a, gt, hypo, mask)[0], attn)
+        t_xla = timeit(lambda a, g_, h_, m_: xla_vg(a, g_, h_, m_),
+                       attn, gt, hypo, mask)
+        t_pls = timeit(lambda a, g_, h_, m_: pls_vg(a, g_, h_, m_),
+                       attn, gt, hypo, mask)
         print(
             f"{name}: xla {t_xla * 1e3:7.3f} ms | pallas {t_pls * 1e3:7.3f} ms "
             f"({t_xla / t_pls:4.1f}x) | rel-loss-err {err_l:.2e} max-grad-err {err_g:.2e}"

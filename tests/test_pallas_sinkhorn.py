@@ -42,6 +42,36 @@ def test_pallas_sinkhorn_matches_reference_impl(d):
     np.testing.assert_allclose(float(our_loss), float(ref_loss), rtol=1e-5)
 
 
+def test_ot_backend_pallas_matches_xla_through_loss():
+    """The production dispatch: mvs4net_loss(ot_backend="pallas") must equal
+    the default XLA backend in value AND attn gradients.  This is the path
+    `--ot_backend pallas` (tools/cli.py) reaches; reference equivalent:
+    ot_loss inside MVS4net_loss (/root/reference/models/mvs4net_utils.py:
+    1096-1141)."""
+    from tests.test_losses_schedules import _fake_outputs
+    from mvster_tpu.models.losses import mvs4net_loss
+
+    outputs, gt, mask = _fake_outputs(3, h=8, w=8)
+
+    def total(attns, backend):
+        outs = {
+            k: dict(v, attn_weight=attns[k]) for k, v in outputs.items()
+        }
+        return mvs4net_loss(
+            outs, gt, mask, ot_iter=6, ot_eps=1.0, ot_backend=backend
+        )[0]
+
+    attns = {k: jnp.asarray(v["attn_weight"]) for k, v in outputs.items()}
+    l_x, g_x = jax.value_and_grad(lambda a: total(a, "xla"))(attns)
+    with pltpu.force_tpu_interpret_mode():
+        l_p, g_p = jax.value_and_grad(lambda a: total(a, "pallas"))(attns)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-5)
+    for k in attns:
+        np.testing.assert_allclose(
+            np.asarray(g_p[k]), np.asarray(g_x[k]), rtol=2e-4, atol=5e-7
+        )
+
+
 def test_pallas_sinkhorn_gradient_matches_autodiff():
     from mvster_tpu.kernels.pallas_sinkhorn import sinkhorn_loss_pallas
 
