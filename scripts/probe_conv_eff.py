@@ -1,0 +1,96 @@
+"""Where do raw-size convs lose the MXU? Achieved-FLOPs probe.
+
+The raw component map (BENCHNOTES.md) shows FPN+reg2d = 242 ms of the
+608 ms raw forward, ~20x above their naive FLOP floor.  Hypothesis: the
+8-16 output-channel convs at full resolution utilize ~C/128 of the MXU
+lanes.  This probe measures achieved TFLOP/s for single convs across
+channel counts and for space-to-depth (f=2) weight-equivalent rewrites,
+at the raw stage-4 shape, with the chained protocol.
+
+Usage: python scripts/probe_conv_eff.py
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvster_tpu.utils.profiling import chain_latency
+
+
+def conv_flops(h, w, k, cin, cout):
+    return h * w * k * k * cin * cout * 2
+
+
+def bench_conv(h, w, k, cin, cout, dtype=jnp.float32, iters=6):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, h, w, cin)), dtype)
+    wt = jnp.asarray(rng.normal(size=(k, k, cin, cout)) * 0.1, dtype)
+
+    def f(carry, x_, w_):
+        y = jax.lax.conv_general_dilated(
+            x_ + jnp.asarray(1e-12 * carry, dtype), w_, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.mean(y.astype(jnp.float32))
+
+    t = chain_latency(f, x, wt, iters=iters)
+    tf = conv_flops(h, w, k, cin, cout) / t / 1e12
+    print(
+        f"conv {k}x{k} {cin:4d}->{cout:4d} @ {h}x{w} {x.dtype.name}: "
+        f"{t * 1e3:8.2f} ms  ({tf:6.2f} TF/s)"
+    )
+    return t
+
+
+def bench_s2d(h, w, cin, cout, f=2, k=3, dtype=jnp.float32, iters=6):
+    """Equivalent conv on space-to-depth blocks: input (H/f, W/f, cin*f^2),
+    kernel kb = ceil((k+f-1)/f), output (H/f, W/f, cout*f^2)."""
+    kb = -(-(k + f - 1) // f)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, h // f, w // f, cin * f * f)), dtype)
+    wt = jnp.asarray(
+        rng.normal(size=(kb, kb, cin * f * f, cout * f * f)) * 0.1, dtype
+    )
+
+    def fn(carry, x_, w_):
+        y = jax.lax.conv_general_dilated(
+            x_ + jnp.asarray(1e-12 * carry, dtype), w_, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.mean(y.astype(jnp.float32))
+
+    t = chain_latency(fn, x, wt, iters=iters)
+    useful = conv_flops(h, w, k, cin, cout)
+    paid = conv_flops(h // f, w // f, kb, cin * f * f, cout * f * f)
+    print(
+        f"s2d{f} conv {k}x{k} {cin:4d}->{cout:4d} @ {h}x{w} {x.dtype.name} "
+        f"(pays {kb}x{kb} {cin * f * f}->{cout * f * f}): {t * 1e3:8.2f} ms "
+        f"(useful {useful / t / 1e12:6.2f} TF/s, paid {paid / t / 1e12:6.2f})"
+    )
+    return t
+
+
+def main():
+    h, w = 1152, 1600
+    print(f"== channel sweep, 3x3 @ {h}x{w} f32 ==")
+    for cin, cout in [(8, 8), (64, 8), (16, 16), (32, 32), (64, 64),
+                      (128, 128)]:
+        bench_conv(h, w, 3, cin, cout)
+    print("== the two raw hot convs, f32 vs s2d2/s2d4 ==")
+    bench_conv(h, w, 3, 64, 8)                 # FPN out4
+    bench_s2d(h, w, 64, 8, f=2)
+    bench_s2d(h, w, 64, 8, f=4)
+    bench_conv(h // 2, w // 2, 3, 64, 16)      # FPN out3
+    bench_s2d(h // 2, w // 2, 64, 16, f=2)
+    print("== bf16 variants ==")
+    bench_conv(h, w, 3, 64, 8, dtype=jnp.bfloat16)
+    bench_s2d(h, w, 64, 8, f=2, dtype=jnp.bfloat16)
+    bench_s2d(h, w, 64, 8, f=4, dtype=jnp.bfloat16)
+
+
+if __name__ == "__main__":
+    main()
