@@ -83,7 +83,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 PADX = 128          # left/right lane margin on the padded source
-_ROW_BIAS = 4096    # bias for the packed per-row scan base (see window_meta)
 # scratch budget for the source row window (VMEM is ~16 MB/core; the other
 # kernel buffers — ref/coords/out blocks, the acc scratch — total < 2 MB).
 # Calls whose 2-band minimum window exceeds this fall back to XLA.
@@ -127,12 +126,38 @@ def _window_bands(cp: int, wp: int, b2: int, nb: int, w: int) -> int:
 
 
 def _nk(cp: int) -> int:
-    """Lane-window width in 128-lane vregs.  With PER-ROW aligned window
-    bases a row's horizontal span is ~128*dx/dlane + alignment slack, which
-    3 vregs cover for all MVS geometry we've probed (block-level bases
-    needed 4 at full-res stages); rows that exceed it trip the runtime
-    predicate and fall back to XLA."""
+    """MAX lane-window width in 128-lane vregs (static bound; the kernel
+    gathers only each vreg's measured `nkr` windows — mean 1.1-1.3 on MVS
+    geometry, scripts/probe_row_pack.py).  With per-vreg aligned window
+    bases 3 vregs cover the span for all geometry we've probed; vregs that
+    exceed it trip the runtime predicate and fall back to XLA."""
     return 3
+
+
+def _row_pack(d: int, h: int) -> int:
+    """Output rows packed per 128-lane vreg (lanes = rp rows x d depths x
+    128/(rp*d) columns) for the FUSED inference layout.
+
+    Packing more rows amortizes the per-scan fixed terms (depth spread +
+    bilinear +2) over rp rows and shrinks the epipolar-tilt term by
+    narrowing the column group; the cost is the rp-row drift joining the
+    span.  Sweep on production DTU-rig geometry (scripts/probe_row_pack.py,
+    raw 1152x1600): stage4 D4 rp=4 -> 1.67x less predicted scan work,
+    stage3 D4 rp=4 -> 1.32x, stage2 D8 rp=2 -> 1.08x, stage1 D8 rp=1.
+    The band height scales to 8*rp vreg-rows (Mosaic needs block
+    second-to-last dims divisible by 8), so h must divide 8*rp; heuristic
+    keyed on stage size."""
+    if d <= 0 or LANE % d:
+        return 1
+    if d == 4:
+        rp = 4 if h >= 384 else (2 if h >= 192 else 1)
+    elif d == 8:
+        rp = 2 if h >= 256 else 1
+    else:
+        rp = 1
+    while rp > 1 and (LANE % (rp * d) or h % (8 * rp)):
+        rp //= 2
+    return rp
 
 
 def _interpret_forced() -> bool:
@@ -165,7 +190,8 @@ def pallas_warp_supported(src_feat: jnp.ndarray) -> bool:
 
 def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
                  y_ref, out_ref, scratch, acc, sem, *, b2, winb, nk, d,
-                 group_dim, sub, h_real, w_real, nb, nxb, fuse_cor=True):
+                 group_dim, sub, h_real, w_real, nb, nxb, nvr,
+                 fuse_cor=True):
     b = pl.program_id(0)
     k = pl.program_id(1)
     j = pl.program_id(2)
@@ -189,17 +215,18 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
         # two dims to (8, 128)), which overflows the 1 MB SMEM at raw-stage4
         # ((1,4,72,13,4) pads to 2.25 MB); flat arrays pad to lanes only.
         blk = ((b * d + d_i) * nb + k) * nxb + j
-        rowbase = blk * b2
+        rowbase = blk * nvr
 
         def row_body(i, _):
-            # per-output-row window, packed xb/128 << 22 | (pb+BIAS) << 8
-            # | rcnt.  Per-row granularity matters twice: the band drift
-            # otherwise inflates every row's scan count ~2x, and a per-row
-            # aligned lane base needs only 3 window vregs where a shared
-            # block base needed 4 (window_meta packs; see _ROW_BIAS).
+            # per-output-VREG window, packed nkr << 27 | xb/128 << 22 |
+            # pb << 8 | rcnt (window_meta).  Per-vreg granularity keeps the
+            # scan count at the vreg's own span, and nkr lets the scan
+            # gather only the lane windows this vreg's x-span actually
+            # needs (mean 1.1-1.3 of the static 3).
             word = row_ref[rowbase + i]
-            xb = pl.multiple_of((word >> 22) * LANE, LANE)
-            pb = ((word >> 8) & 0x3FFF) - _ROW_BIAS
+            nkr = (word >> 27) & 0x7
+            xb = pl.multiple_of(((word >> 22) & 0x1F) * LANE, LANE)
+            pb = (word >> 8) & 0x3FFF      # first scan row, window coords
             rcnt = word & 0xFF
             x = x_ref[0, d_i, pl.ds(i, 1), :]          # (1, 128)
             y = y_ref[0, d_i, pl.ds(i, 1), :]
@@ -226,46 +253,60 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
             # lives in vreg rx >> 7 at lane rx & 127, so one broadcast index
             # per tap serves every unrolled window and membership is a
             # single compare (replaces per-window index prep + range masks;
-            # negative/out-of-window rx yield k_of outside [0, nk) and drop)
+            # negative/out-of-window rx yield k_of outside [0, nkr) and drop)
             k_of0 = rx0 >> 7
             k_of1 = (rx0 + 1) >> 7
             ixm0 = jnp.broadcast_to(rx0 & (LANE - 1), (cp, LANE))
             ixm1 = jnp.broadcast_to((rx0 + 1) & (LANE - 1), (cp, LANE))
 
-            def scan_row(row_scr, w_row, acc_w):
-                tile3 = scratch[
-                    pl.ds(row_scr, 1), :, pl.ds(xb, nk * LANE)
-                ].reshape(cp, nk * LANE)
-                a0 = w_row * w_x0
-                a1 = w_row * w_x1
-                # statically unrolled lane windows (a dynamic fori_loop over
-                # the window count measured ~2x SLOWER — Mosaic lowers the
-                # per-iteration dynamic lane-slice poorly)
-                for k3 in range(nk):
-                    tile = tile3[:, k3 * LANE:(k3 + 1) * LANE]
-                    g0 = jnp.take_along_axis(tile, ixm0, axis=1)
-                    g1 = jnp.take_along_axis(tile, ixm1, axis=1)
-                    w0 = a0 * (k_of0 == k3).astype(jnp.float32)
-                    w1 = a1 * (k_of1 == k3).astype(jnp.float32)
-                    acc_w = acc_w + g0 * w0 + g1 * w1
-                return acc_w
+            def variant(nwin):
+                # one statically-unrolled scan loop per lane-window count;
+                # nkr selects a variant below, so a vreg whose x-span fits
+                # one window gathers one (a dynamic fori_loop over the
+                # count measured ~2x SLOWER — Mosaic lowers per-iteration
+                # dynamic lane-slices poorly)
+                def scan_row(row_scr, w_row, acc_w):
+                    tile_n = scratch[
+                        pl.ds(row_scr, 1), :, pl.ds(xb, nwin * LANE)
+                    ].reshape(cp, nwin * LANE)
+                    a0 = w_row * w_x0
+                    a1 = w_row * w_x1
+                    for k3 in range(nwin):
+                        tile = tile_n[:, k3 * LANE:(k3 + 1) * LANE]
+                        g0 = jnp.take_along_axis(tile, ixm0, axis=1)
+                        g1 = jnp.take_along_axis(tile, ixm1, axis=1)
+                        w0 = a0 * (k_of0 == k3).astype(jnp.float32)
+                        w1 = a1 * (k_of1 == k3).astype(jnp.float32)
+                        acc_w = acc_w + g0 * w0 + g1 * w1
+                    return acc_w
 
-            def r_body(r, acc_w):
-                # two scan rows per trip: halves loop overhead; the extra
-                # row is masked out when rcnt is odd
-                for rr in range(2):
-                    rs = 2 * r + rr
-                    row_scr = jnp.clip(i + pb + rs, 0, winb * b2 - 1)
-                    m0 = (y0_rel == row_scr).astype(jnp.float32)
-                    m1 = (y0_rel + 1 == row_scr).astype(jnp.float32)
-                    live = (rs < rcnt).astype(jnp.float32)
-                    w_row = (m0 * w_y0 + m1 * w_y1) * live  # (1, 128)
-                    acc_w = scan_row(row_scr, w_row, acc_w)
-                return acc_w
+                def r_body(r, acc_w):
+                    # two scan rows per trip: halves loop overhead; the
+                    # extra row is masked out when rcnt is odd
+                    for rr in range(2):
+                        rs = 2 * r + rr
+                        row_scr = jnp.clip(pb + rs, 0, winb * b2 - 1)
+                        m0 = (y0_rel == row_scr).astype(jnp.float32)
+                        m1 = (y0_rel + 1 == row_scr).astype(jnp.float32)
+                        live = (rs < rcnt).astype(jnp.float32)
+                        w_row = (m0 * w_y0 + m1 * w_y1) * live  # (1, 128)
+                        acc_w = scan_row(row_scr, w_row, acc_w)
+                    return acc_w
 
-            warped = jax.lax.fori_loop(
-                0, (rcnt + 1) // 2, r_body,
-                jnp.zeros((cp, LANE), jnp.float32),
+                def run(_):
+                    return jax.lax.fori_loop(
+                        0, (rcnt + 1) // 2, r_body,
+                        jnp.zeros((cp, LANE), jnp.float32),
+                    )
+
+                return run
+
+            warped = jax.lax.cond(
+                nkr <= 1, variant(1),
+                lambda o: jax.lax.cond(
+                    nkr == 2, variant(2), variant(min(3, nk)), o
+                ),
+                0,
             )
             if fuse_cor:
                 acc[pl.ds(i, 1)] = warped.reshape(1, cp, LANE)
@@ -273,7 +314,7 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
                 out_ref[0, d_i, pl.ds(i, 1)] = warped.reshape(1, cp, LANE)
             return 0
 
-        jax.lax.fori_loop(0, b2, row_body, 0)
+        jax.lax.fori_loop(0, nvr, row_body, 0)
 
         if not fuse_cor:
             continue
@@ -287,29 +328,30 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
 
 
 def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
-                 group_dim, sub, h, w, nb, nxb, cp, wp, interpret=False,
-                 fuse_cor=True):
+                 group_dim, sub, h, w, nb, nxb, nvr, hp, cp, wp,
+                 interpret=False, fuse_cor=True):
     kernel = functools.partial(
         _warp_kernel, b2=b2, winb=winb, nk=nk, d=d, group_dim=group_dim,
-        sub=sub, h_real=h, w_real=w, nb=nb, nxb=nxb, fuse_cor=fuse_cor,
+        sub=sub, h_real=h, w_real=w, nb=nb, nxb=nxb, nvr=nvr,
+        fuse_cor=fuse_cor,
     )
     if fuse_cor:
         out_spec = pl.BlockSpec(
-            (1, d, group_dim, b2, LANE),
+            (1, d, group_dim, nvr, LANE),
             lambda b, k, j, *_: (b, 0, 0, k, j),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct(
-            (src_p.shape[0], d, group_dim, h, nxb * LANE), jnp.float32
+            (src_p.shape[0], d, group_dim, hp, nxb * LANE), jnp.float32
         )
     else:
         out_spec = pl.BlockSpec(
-            (1, d, b2, cp, LANE),
+            (1, d, nvr, cp, LANE),
             lambda b, k, j, *_: (b, 0, k, 0, j),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct(
-            (src_p.shape[0], d, h, cp, nxb * LANE), jnp.float32
+            (src_p.shape[0], d, hp, cp, nxb * LANE), jnp.float32
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -317,17 +359,17 @@ def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # src (HBM)
             pl.BlockSpec(                                      # ref window
-                (1, b2, cp, LANE),
+                (1, nvr, cp, LANE),
                 lambda b, k, j, *_: (b, k + 1, 0, j + 1),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(                                      # x coords
-                (1, d, b2, LANE),
+                (1, d, nvr, LANE),
                 lambda b, k, j, *_: (b, 0, k, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(                                      # y coords
-                (1, d, b2, LANE),
+                (1, d, nvr, LANE),
                 lambda b, k, j, *_: (b, 0, k, j),
                 memory_space=pltpu.VMEM,
             ),
@@ -335,7 +377,7 @@ def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((winb * b2, cp, wp), jnp.float32),
-            pltpu.VMEM((b2, cp, LANE), jnp.float32),
+            pltpu.VMEM((nvr, cp, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -405,39 +447,56 @@ def warp_pallas(
     return _warp_impl(src_feat, src_feat, x, y, 1, False, interpret)[0]
 
 
-def _coord_windows(c: int, x, y):
+def _coord_windows(c: int, x, y, rp: int | None = None):
     """Shared layout + window-metadata computation for a kernel call with
     `c`-channel features and plane-sweep coords x/y ((B, D, H, W)).
 
     Returns (meta_row, shift, pred, layout) where layout carries the
     static tile geometry plus the (possibly output-width-padded) x/y and
-    the lane-layout coords xc/yc.  `warp_predicate` and
-    scripts/probe_warp_pred.py evaluate the EXACT production predicate by
-    calling this — any layout change here changes both the kernel call and
-    its feasibility probe together.
+    a `pack_lanes` closure producing the lane-layout coords (materialized
+    inside the selected lax.cond branch so unselected layout variants cost
+    nothing at runtime).  `warp_predicate` and scripts/probe_warp_pred.py
+    evaluate the EXACT production predicate by calling this — any layout
+    change here changes both the kernel call and its feasibility probe
+    together.
 
-    Depth-packed lane layout: all D hypotheses share each 128-lane vreg
-    (D groups of 128/D columns).  The scan count per row is
-    ~slope * lane_cols + depth-spread, so narrowing the column group from
-    128 to 128/D cuts the dominant term by D at full vreg utilization —
-    decisive at raw sizes where steep epipolar slopes drive 30+-row scans.
-    Widths not divisible by the group are OUTPUT-padded (edge coords) to
-    the next multiple and sliced after: the unpacked layout's out block
-    (d x cp x band) otherwise overflows VMEM in warp-only mode at wide
-    narrow-group shapes (e.g. raw stage1, 200 wide, D=8).
+    rp overrides the row-pack heuristic: `_warp_impl` chains layout
+    variants (rp0, then rp0/2, then XLA) because taller rp bands add
+    b2*slope rows to the shared band window's y-extent, which on
+    wide-baseline rigs at wide images can exceed the VMEM window the
+    heuristic's rp fits comfortably on DTU-envelope geometry.
+
+    Row/depth-packed lane layout: each 128-lane vreg holds rp consecutive
+    output ROWS x all D hypotheses x pc = 128/(rp*D) columns.  The scan
+    count per vreg is ~slope * pc + depth-spread + rp-drift + 2, so
+    narrowing the column group cuts the dominant tilt term while packing
+    rows amortizes the fixed terms — measured sweep in
+    scripts/probe_row_pack.py (raw stage4: rp=4 is 1.67x less scan work
+    than rp=1).  Widths not divisible by the group are OUTPUT-padded
+    (edge coords) to the next multiple and sliced after: the unpacked
+    layout's out block (d x cp x band) otherwise overflows VMEM in
+    warp-only mode at wide narrow-group shapes (e.g. raw stage1, 200
+    wide, D=8).
     """
     b, d, h, w = x.shape
-    b2 = _band_rows(h)
-    assert b2, f"height {h} not divisible by 8"
-    nb = h // b2
     nxb = -(-w // LANE)
     wc = nxb * LANE
     wp = wc + 2 * PADX
 
-    pc = LANE // d if (d > 1 and LANE % d == 0) else 0
-    pack = bool(pc)
-    wo = -(-w // pc) * pc if pack else w  # padded OUTPUT width
-    if pack and wo != w:
+    if rp is None:
+        rp = _row_pack(d, h)
+    pack = d > 1 and LANE % (rp * d) == 0
+    if not pack:
+        rp = 1
+    # band height scales with rp so a band is always >= 8 vreg-rows
+    # (Mosaic: block second-to-last dims must be multiples of 8 for f32;
+    # nvr = b2/rp is the out/coord block's second-to-last dim)
+    b2 = 8 * rp if rp > 1 else _band_rows(h)
+    assert b2 and h % b2 == 0, f"height {h} not divisible by 8"
+    nb = h // b2
+    pc = LANE // (rp * d) if pack else LANE
+    wo = -(-w // pc) * pc if pack else wc  # padded OUTPUT width
+    if wo != w:
         x = jnp.pad(x, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
         y = jnp.pad(y, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
 
@@ -448,38 +507,55 @@ def _coord_windows(c: int, x, y):
     winb = _window_bands(cp, wp, b2, nb, w)
     # cap the lane window at the padded source width (small images)
     nk = min(_nk(cp), wp // LANE)
+    nvr = b2 // rp    # vreg-rows per band
+    hp = h // rp      # packed height
 
     if pack:
-        nw = wo // pc
+        nwj = (wo * d * rp) // LANE  # output vregs per packed row
 
-        def pack_lanes(v):  # (B, D, H, WO) -> (B, 1, H, WO*D)
+        def pack_lanes(v):  # (B, D, H, WO) -> (B, 1, HP, NWJ*LANE)
             return jnp.transpose(
-                v.reshape(b, d, h, nw, pc), (0, 2, 3, 1, 4)
-            ).reshape(b, 1, h, wo * d)
+                v.reshape(b, d, hp, rp, nwj, pc), (0, 2, 4, 3, 1, 5)
+            ).reshape(b, 1, hp, nwj * LANE)
 
-        xc, yc = pack_lanes(x), pack_lanes(y)
-        kd, knxb = 1, (wo * d) // LANE
+        kd, knxb = 1, nwj
     else:
-        xc = jnp.pad(x, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
-        yc = jnp.pad(y, ((0, 0),) * 3 + ((0, wc - w),), mode="edge")
+        def pack_lanes(v):  # already edge-padded to wo == wc above
+            return v
+
         kd, knxb = d, nxb
 
-    meta_row, shift, pred = window_meta(xc, yc, h, w, b2, winb, nk, wp)
+    meta_row, shift, pred = window_meta(
+        x, y, h, w, b2, winb, nk, wp, rp=rp, pc=pc, share_d=pack
+    )
     layout = dict(
         b2=b2, nb=nb, nxb=nxb, wc=wc, wp=wp, pack=pack, pc=pc, wo=wo,
-        cp=cp, winb=winb, nk=nk, kd=kd, knxb=knxb, x=x, y=y, xc=xc, yc=yc,
+        cp=cp, winb=winb, nk=nk, kd=kd, knxb=knxb, rp=rp, nvr=nvr, hp=hp,
+        x=x, y=y, pack_lanes=pack_lanes,
     )
     return meta_row, shift, pred, layout
 
 
+def _variant_rps(d: int, h: int) -> list:
+    """Layout variants tried in order: the heuristic rp, then rp/2 (whose
+    shorter bands shed ~b2/2*slope rows of shared-window y-extent, holding
+    on wide-baseline rigs where the taller bands overflow), then XLA."""
+    rp0 = _row_pack(d, h)
+    return [rp0] + ([rp0 // 2] if rp0 > 1 else [])
+
+
 def warp_predicate(channels: int, x, y) -> jnp.ndarray:
-    """The kernel's runtime geometry-feasibility predicate, evaluated
-    without running the kernel (same `_coord_windows` the production call
-    uses).  True = this geometry would run on the Pallas kernel; False =
-    the lax.cond would take the XLA fallback.  Drives the geometry-sweep
-    tests (tests/test_warp_geometry.py) and scripts/probe_warp_pred.py."""
-    _, _, pred, _ = _coord_windows(channels, x, y)
-    return pred
+    """True iff this geometry would run on SOME Pallas layout variant of
+    the production chain (same `_coord_windows` calls the production
+    `_warp_impl` makes); False = the lax.cond chain would bottom out on
+    the XLA fallback.  Drives the geometry-sweep tests
+    (tests/test_warp_geometry.py) and scripts/probe_warp_pred.py."""
+    _, d, h, _ = x.shape
+    preds = [
+        _coord_windows(channels, x, y, rp=rp)[2]
+        for rp in _variant_rps(d, h)
+    ]
+    return functools.reduce(jnp.logical_or, preds)
 
 
 def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
@@ -488,153 +564,199 @@ def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
     assert (hs, ws) == (h, w), "pallas warp expects matching view resolutions"
     assert c % group_dim == 0
     sub = c // group_dim
+    x_orig, y_orig = x, y
 
-    meta_row, shift, pred, L = _coord_windows(c, x, y)
-    x, y, xc, yc = L["x"], L["y"], L["xc"], L["yc"]
-    b2, wp, wo, pack, pc = L["b2"], L["wp"], L["wo"], L["pack"], L["pc"]
-    nb, nxb, winb, nk = L["nb"], L["nxb"], L["winb"], L["nk"]
-    kd, knxb, cp = L["kd"], L["knxb"], L["cp"]
+    def make_kernel_path(meta_row, shift, L):
+        """Branch fn for one layout variant.  All heavy operand packing
+        (lane transposes, band/width pads) happens INSIDE the branch so an
+        unselected variant costs nothing at runtime — XLA's conditional
+        executes only the taken branch."""
+        x, y, pack_lanes = L["x"], L["y"], L["pack_lanes"]
+        b2, wp, wo, pack, pc = L["b2"], L["wp"], L["wo"], L["pack"], L["pc"]
+        nb, winb, nk = L["nb"], L["winb"], L["nk"]
+        kd, knxb, cp = L["kd"], L["knxb"], L["cp"]
+        rp, nvr, hp = L["rp"], L["nvr"], L["hp"]
+        # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
+        # tile-padded (last two dims to (8,128)) and overflow SMEM at raw
+        meta_flat = meta_row.reshape(-1)
+        shift_flat = shift.reshape(-1)
 
-    # --- XLA-side precompute: padded operands
-    src_p = _pad_feature(src_feat, b2, wp)
-    assert src_p.shape[2] == cp
-    if pack:
-        nw = wo // pc
-        if wo != w:
-            ref_feat = jnp.pad(
-                ref_feat, ((0, 0), (0, 0), (0, wo - w), (0, 0))
+        def kernel_path(_):
+            src_p = _pad_feature(src_feat, b2, wp)
+            assert src_p.shape[2] == cp
+            if pack:
+                nwj = knxb
+                nwc = wo // pc  # column groups per row
+                rf = ref_feat
+                if wo != w:
+                    rf = jnp.pad(rf, ((0, 0), (0, 0), (0, wo - w), (0, 0)))
+                # ref in the packed lane order (rp rows, d depths, pc
+                # cols): the fused correlation multiplies warped and ref
+                # lane-wise
+                ref_lanes = jnp.broadcast_to(
+                    jnp.transpose(
+                        rf.reshape(b, hp, rp, nwc, pc, c), (0, 1, 3, 2, 4, 5)
+                    ).reshape(b, hp, nwc, rp, 1, pc, c),
+                    (b, hp, nwc, rp, d, pc, c),
+                ).reshape(b, hp, nwj * LANE, c)
+                ref_p = _pad_feature(ref_lanes, nvr, nwj * LANE + 2 * PADX)
+            else:
+                nwc = 0
+                ref_p = _pad_feature(ref_feat, b2, wp)
+            xc, yc = pack_lanes(x), pack_lanes(y)
+            out = _pallas_call(
+                meta_flat, shift_flat, src_p, ref_p, xc, yc,
+                b2=b2, winb=winb, nk=nk, d=kd, group_dim=group_dim,
+                sub=sub, h=h, w=w, nb=nb, nxb=knxb, nvr=nvr, hp=hp, cp=cp,
+                wp=wp, interpret=interpret, fuse_cor=fuse_cor,
             )
-        ref_lanes = jnp.broadcast_to(
-            ref_feat.reshape(b, h, nw, 1, pc, c), (b, h, nw, d, pc, c)
-        ).reshape(b, h, wo * d, c)
-        ref_p = _pad_feature(ref_lanes, b2, wo * d + 2 * PADX)
-    else:
-        ref_p = _pad_feature(ref_feat, b2, wp)
-
-    # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
-    # tile-padded (last two dims to (8,128)) and overflow SMEM at raw sizes
-    meta_row = meta_row.reshape(-1)
-    shift = shift.reshape(-1)
-
-    def kernel_path(_):
-        out = _pallas_call(
-            meta_row, shift, src_p, ref_p, xc, yc,
-            b2=b2, winb=winb, nk=nk, d=kd, group_dim=group_dim, sub=sub,
-            h=h, w=w, nb=nb, nxb=knxb, cp=cp, wp=wp,
-            interpret=interpret, fuse_cor=fuse_cor,
-        )
-        if fuse_cor:  # (B, KD, G, H, KNXB*LANE)
+            if fuse_cor:  # (B, KD, G, HP, KNXB*LANE)
+                if pack:
+                    return jnp.transpose(
+                        out.reshape(b, group_dim, hp, nwc, rp, d, pc),
+                        (0, 5, 2, 4, 3, 6, 1),
+                    ).reshape(b, d, h, wo, group_dim)[:, :, :, :w]
+                return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
+            # warp-only: (B, KD, HP, CP, KNXB*LANE)
             if pack:
                 return jnp.transpose(
-                    out.reshape(b, group_dim, h, nw, d, pc),
-                    (0, 4, 2, 3, 5, 1),
-                ).reshape(b, d, h, wo, group_dim)[:, :, :, :w]
-            return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
-        # warp-only: (B, KD, H, CP, KNXB*LANE)
-        if pack:
-            return jnp.transpose(
-                out.reshape(b, h, cp, nw, d, pc), (0, 4, 1, 3, 5, 2)
-            ).reshape(b, d, h, wo, cp)[:, :, :, :w, :c]
-        return jnp.transpose(out[..., :w], (0, 1, 2, 4, 3))[..., :c]
+                    out.reshape(b, hp, cp, nwc, rp, d, pc),
+                    (0, 5, 1, 4, 3, 6, 2),
+                ).reshape(b, d, h, wo, cp)[:, :, :, :w, :c]
+            return jnp.transpose(out[..., :w], (0, 1, 2, 4, 3))[..., :c]
+
+        return kernel_path
 
     def xla_path(_):
         from mvster_tpu.core.sampling import grid_sample_zeros
         from mvster_tpu.kernels.cost_volume import correlate
 
-        # x/y/ref may carry the output-width padding; slice it back off
-        warped = grid_sample_zeros(src_feat, x, y)
+        warped = grid_sample_zeros(src_feat, x_orig, y_orig)
         if fuse_cor:
-            return correlate(warped, ref_feat, True, group_dim)[
-                :, :, :, :w
-            ]
-        return warped[:, :, :, :w]
+            return correlate(warped, ref_feat, True, group_dim)
+        return warped
 
-    return jax.lax.cond(pred, kernel_path, xla_path, operand=None), pred
+    # variant chain: heuristic rp first, then rp/2, then XLA — preds are
+    # cheap coord reductions; the branch bodies (packing + kernel) only
+    # execute when selected
+    variants = [
+        _coord_windows(c, x, y, rp=rp) for rp in _variant_rps(d, h)
+    ]
+    branch = xla_path
+    pred_any = jnp.zeros((), bool)
+    for meta_row, shift, pred, L in reversed(variants):
+        branch = functools.partial(
+            lambda nxt, kp, p, _: jax.lax.cond(p, kp, nxt, operand=None),
+            branch, make_kernel_path(meta_row, shift, L), pred,
+        )
+        pred_any = pred_any | pred
+    return branch(None), pred_any
 
 
-def window_meta(xc, yc, h, w, b2, winb, nk, wp_src=None):
-    """Kernel window metadata + feasibility predicate.
+def window_meta(x, y, h, w, b2, winb, nk, wp_src, rp=1, pc=LANE,
+                share_d=False):
+    """Kernel window metadata + feasibility predicate, per output VREG.
 
-    xc/yc are the (B, D, H, WC) lane-padded coordinates; returns
+    x/y are the (B, D, H, WO) output-width-padded coordinates (UNPACKED —
+    this function mirrors whatever lane grouping `_coord_windows` chose via
+    rp/pc/share_d: each 128-lane vreg holds rp consecutive rows x
+    (D if share_d else 1) depths x pc columns).  Returns
     (meta_row, shift, pred):
 
-      * meta_row (B, D, NB, NXB, B2) int32 — PER-OUTPUT-ROW window, packed
-        (xb/128) << 22 | (pb + _ROW_BIAS) << 8 | rcnt, where xb is the
-        row's aligned lane-window base in padded columns, pb the scan base
-        relative to the output row (window coordinates) and rcnt the scan
-        count.  Per-row granularity matters twice: a per-block scan window
-        would add the band's row drift (y_src - y_out scale mismatch) to
-        every row's scan count (~2x extra scanning on DTU-like geometry),
-        and a per-row lane base covers a row's x-span with 3 window vregs
-        where a shared block base needed 4.
+      * meta_row (B, KD, NB, NW, NVR_B) int32 — per-vreg window, packed
+        nkr << 27 | (xb/128) << 22 | pb << 8 | rcnt, where xb is the
+        vreg's aligned lane-window base in padded source columns, nkr how
+        many 128-lane windows from xb its x-span actually needs (the
+        kernel gathers only those — mean 1.1-1.3 vs the static nk=3
+        bound), pb the vreg's first scan row in window coordinates and
+        rcnt its scan count.  Per-vreg granularity keeps the scan count at
+        the vreg's own span (tilt*pc + depth spread + rp drift) instead of
+        the whole band's.
       * shift (B, NB) int32 — per-band DMA window offset.
-      * pred — True iff every relevant pixel fits the static windows.
+      * pred — True iff every relevant vreg fits the static windows.
 
-    wp_src is the padded SOURCE width the lane-window base indexes into
-    (differs from the coords width in the depth-packed lane layout).
+    wp_src is the padded SOURCE width the lane-window base indexes into.
     """
-    b, d, _, wcols = xc.shape
+    b, d, _, wo = x.shape
     nb = h // b2
-    nxb = wcols // LANE
-    wp = wp_src if wp_src is not None else nxb * LANE + 2 * PADX
+    nvr_b = b2 // rp
+    nw = wo // pc
+    kd = 1 if share_d else d
+    wp = wp_src
 
-    x0f = jnp.floor(xc)
-    y0f = jnp.floor(yc)
-    rel = (xc > -1) & (xc < w) & (yc > -1) & (yc < h)  # >=1 tap in-image
-    i_abs = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
-    yres = y0f - i_abs
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    rel = (x > -1) & (x < w) & (y > -1) & (y < h)  # >=1 tap in-image
 
-    def blockify(v):  # (B, D, H, WC) -> (B, D, NB, B2, NXB, LANE)
-        return v.reshape(b, d, nb, b2, nxb, LANE)
+    def blockify(v):  # -> (B, D, NB, NVR_B, RP, NW, PC)
+        return v.reshape(b, d, nb, nvr_b, rp, nw, pc)
 
+    red = (1, 4, 6) if share_d else (4, 6)  # the packed-lane axes
     inf = jnp.float32(jnp.inf)
     rel_b = blockify(rel)
-    yres_b = blockify(yres)
+    y0_b = blockify(y0f)
     x0_b = blockify(x0f)
-    # per-row (over lanes only) extents: (B, D, NB, B2, NXB)
-    ymin_r = jnp.min(jnp.where(rel_b, yres_b, inf), axis=5)
-    ymax_r = jnp.max(jnp.where(rel_b, yres_b, -inf), axis=5)
-    xmin_r = jnp.min(jnp.where(rel_b, x0_b, inf), axis=5)
-    xmax_r = jnp.max(jnp.where(rel_b, x0_b + 1, -inf), axis=5)
-    rel_r = jnp.any(rel_b, axis=5)
+    # per-vreg extents: (B, KD, NB, NVR_B, NW)
+    ymin_r = jnp.min(jnp.where(rel_b, y0_b, inf), axis=red)
+    ymax_r = jnp.max(jnp.where(rel_b, y0_b, -inf), axis=red)
+    xmin_r = jnp.min(jnp.where(rel_b, x0_b, inf), axis=red)
+    xmax_r = jnp.max(jnp.where(rel_b, x0_b + 1, -inf), axis=red)
+    rel_r = jnp.any(rel_b, axis=red)
+    if share_d:
+        ymin_r, ymax_r = ymin_r[:, None], ymax_r[:, None]
+        xmin_r, xmax_r = xmin_r[:, None], xmax_r[:, None]
+        rel_r = rel_r[:, None]
 
-    # per-band window shift: let the winb-band source window track the
-    # vertical parallax (min scan base over the band's relevant rows and
-    # depths), clamped so the padded slice [k*b2 + b2 + shift, +winb*b2)
-    # stays inside the (H + 2*b2)-row padded source
-    shift_raw = jnp.min(
-        jnp.where(rel_r, ymin_r, inf), axis=(1, 3, 4)
+    # per-band window shift: the kernel addresses scan rows absolutely
+    # within the window (row_scr = pb + rs, no output-row offset), so the
+    # optimal window top is the band's absolute MIN source row — a
+    # residual-based top (min of y0 - output_row, round 2's layout) wastes
+    # up to b2*slope rows of the window when the min residual comes from a
+    # different output row than the min source row, which with rp-scaled
+    # b2 = 32 tripped the predicate on wide-baseline raw stage4 rigs.
+    # Clamped so the padded slice [k*b2 + b2 + shift, +winb*b2) stays
+    # inside the padded source.
+    k_idx = jnp.arange(nb, dtype=jnp.float32)[None]
+    shift_raw = (
+        jnp.min(jnp.where(rel_r, ymin_r, inf), axis=(1, 3, 4))
+        - k_idx * b2
     )  # (B, NB)
     shift_raw = jnp.where(jnp.isfinite(shift_raw), shift_raw, 0.0)
-    k_idx = jnp.arange(nb, dtype=jnp.float32)[None]
     shift = jnp.clip(
         shift_raw, -(k_idx + 1) * b2, h + (1 - winb) * b2 - k_idx * b2
     ).astype(jnp.int32)
 
-    # window-relative per-row scan base/count
-    pb = (
-        jnp.where(rel_r, ymin_r, 0.0).astype(jnp.int32)
-        - shift[:, None, :, None, None]
+    # window-relative per-vreg scan base/count (absolute source rows
+    # relative to the window top = original row k*b2 + shift)
+    win_top = (
+        jnp.arange(nb, dtype=jnp.int32)[None, None, :, None, None] * b2
+        + shift[:, None, :, None, None]
     )
+    pb = jnp.where(rel_r, ymin_r, 0.0).astype(jnp.int32) - win_top
     rcnt = jnp.where(rel_r, ymax_r - ymin_r + 2.0, 0.0).astype(jnp.int32)
 
     xbase = jnp.clip(
         jnp.floor((jnp.where(rel_r, xmin_r, 0.0) + PADX) / LANE) * LANE,
         0.0, wp - nk * LANE,
     ).astype(jnp.int32)
+    span = jnp.where(rel_r, xmax_r, 0.0) + PADX - xbase.astype(jnp.float32)
+    nkr = jnp.clip(jnp.ceil(span / LANE), 1.0, nk).astype(jnp.int32)
 
-    # feasibility: scan rows [i + pb, i + pb + rcnt) within the window
-    i_in = jnp.arange(b2, dtype=jnp.int32)[None, None, None, :, None]
-    ok_y = (i_in + pb >= 0) & (i_in + pb + rcnt <= winb * b2)
-    ok_x = (xmax_r + PADX - xbase.astype(jnp.float32) < nk * LANE) & (
+    # feasibility: scan rows [pb, pb + rcnt) within the window, x-span
+    # within nk aligned windows from xbase, fields within their packed
+    # bit widths (rcnt 8 bits; xb/128 5 bits — the latter is static)
+    ok_y = (pb >= 0) & (pb + rcnt <= winb * b2) & (rcnt <= 0xFF)
+    ok_x = (span < nk * LANE) & (
         xmin_r + PADX >= xbase.astype(jnp.float32)
     )
     pred = jnp.all(jnp.where(rel_r, ok_y & ok_x, True))
+    if (wp - nk * LANE) // LANE > 0x1F:  # images wider than ~4200 px
+        pred = jnp.zeros((), bool)
 
-    pb = jnp.clip(pb, -_ROW_BIAS, 0x3FFF - _ROW_BIAS)
-    rcnt = jnp.clip(rcnt, 0, winb * b2)
+    pb = jnp.clip(pb, 0, 0x3FFF)
+    rcnt = jnp.clip(rcnt, 0, min(winb * b2, 255))
     meta_row = (
-        ((xbase // LANE) << 22) | ((pb + _ROW_BIAS) << 8) | rcnt
-    )  # (B, D, NB, B2, NXB)
-    meta_row = jnp.transpose(meta_row, (0, 1, 2, 4, 3))  # rows innermost
+        (nkr << 27) | ((xbase // LANE) << 22) | (pb << 8) | rcnt
+    )  # (B, KD, NB, NVR_B, NW)
+    meta_row = jnp.transpose(meta_row, (0, 1, 2, 4, 3))  # vreg-rows innermost
     return meta_row, shift, pred

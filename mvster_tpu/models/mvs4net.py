@@ -213,9 +213,12 @@ class MVS4Net(nn.Module):
         """
         cfg = self.config
         warp_impl = "xla" if train else cfg.warp_impl
-        if warp_impl == "pallas" and feat_stage.dtype != jnp.float32:
-            # the Pallas warp kernel is f32-only; upcasting bf16 features is
-            # exact, so bf16 compute mode keeps the fast inference path
+        if feat_stage.dtype != jnp.float32:
+            # the Pallas warp/scatter kernels are f32-only; upcasting bf16
+            # features is exact, so bf16 compute mode keeps the fast paths
+            # on BOTH the fused inference kernel and the training
+            # warp-fwd/scatter-bwd pair (bf16 features would otherwise
+            # silently route the train step to XLA's ~8x-slower scatter)
             feat_stage = feat_stage.astype(jnp.float32)
         ref_feat = feat_stage[:, 0]
         src_feats = [feat_stage[:, i] for i in range(1, feat_stage.shape[1])]

@@ -103,6 +103,53 @@ def chain_latency(
     return (timed(iters) - timed(lo)) / (iters - lo)
 
 
+def dispatch_chain_latency(
+    step,
+    state,
+    *args,
+    probe,
+    n_lo: int = 2,
+    n_hi: int = 6,
+    reps: int = 3,
+) -> float:
+    """Per-step device latency of a state-threaded `step`, in seconds.
+
+    The fallback protocol for programs too large for the `chain_latency`
+    fori_loop wrapper (the XLA compile helper rejects the train step at
+    batch >= 4 when wrapped in a traced-trip-count loop).  Honesty comes
+    from the same two ingredients, realized differently:
+
+      1. n dependent dispatches chained through the carried `state`
+         (dispatch i+1 consumes dispatch i's output, so the device must
+         run them serially), and
+      2. `probe(state)` fetches a scalar from the FINAL state to the
+         host, which cannot complete until the whole chain executed.
+
+    Reported value is (T(n_hi) - T(n_lo)) / (n_hi - n_lo), min over reps:
+    the subtraction cancels fixed overheads (upload, fetch), and the
+    per-dispatch RPC (~25 us on this runtime) is negligible against the
+    >100 ms steps this protocol exists for.  `step(state, *args) ->
+    state` must be pre-jitted; `probe(state)` -> scalar array.
+    """
+    def run(n, st):
+        for _ in range(n):
+            st = step(st, *args)
+        return float(probe(st))
+
+    run(1, state)  # compile
+    run(1, state)  # warm
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(n, state)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
+
+
 def device_memory_stats(device=None) -> dict:
     """Bytes in use / peak / limit for a device (empty dict if unsupported)."""
     device = device or jax.devices()[0]

@@ -2,6 +2,15 @@
 
 Times: full train step, loss-only (forward+loss), forward-only — the deltas
 locate where optimization effort should go (Sinkhorn iterations vs convs).
+
+The full step is timed with dispatch_chain_latency (state-threaded
+dependent dispatches + final-state scalar fetch): unlike chain_latency's
+fori_loop wrapper it scales to batch >= 4 (the wrapped program exceeds
+the XLA compile helper there), which is how the b1/b2/b4/b8 scaling table
+in BENCHNOTES.md is produced (--batch N).  The component timings below it
+keep the coarser block_until_ready timer ONLY for relative deltas between
+variants of the same program at the same shape; absolute numbers quoted
+anywhere come from the chained protocols (BENCHNOTES.md).
 """
 
 import sys
@@ -85,9 +94,17 @@ def main():
         variables, batch)
     print(f"train forward + loss(it3):  {t_loss3 * 1e3:8.2f} ms")
 
+    from mvster_tpu.utils.profiling import dispatch_chain_latency
+
     step = make_train_step(model, tx, loss_kwargs=loss_kwargs, donate=False)
-    t_step = timeit(lambda st, bt: step(st, bt)[1]["loss"], state, batch)
-    print(f"full train step (it10):     {t_step * 1e3:8.2f} ms")
+    t_step = dispatch_chain_latency(
+        lambda st, bt: step(st, bt)[0], state, batch,
+        probe=lambda st: jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x), st.params, jnp.float32(0.0)
+        ),
+    )
+    print(f"full train step (it10, b{b}, state-threaded chain): "
+          f"{t_step * 1e3:8.2f} ms")
 
 
 if __name__ == "__main__":

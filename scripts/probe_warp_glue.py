@@ -67,7 +67,8 @@ def main(h=1152, w=1600):
         return (
             jnp.sum(meta_row).astype(jnp.float32) * 1e-9
             + jnp.sum(shift).astype(jnp.float32)
-            + jnp.mean(L["xc"]) + jnp.mean(L["yc"])
+            + jnp.mean(L["pack_lanes"](L["x"]))
+            + jnp.mean(L["pack_lanes"](L["y"]))
             + pred.astype(jnp.float32)
         )
 

@@ -70,6 +70,42 @@ def main():
         f"pallas warp fallbacks: {fb}/{4 * (v - 1)} stage-views took the "
         f"XLA path" + (" (DEGRADED)" if fb else "")
     )
+
+    # On-chip Pallas-vs-XLA warp parity as a committed, reproducible check
+    # (VERDICT r2 #6): both cost-volume impls at the production stage-4
+    # geometry (this forward's own refined hypotheses), referenced from
+    # PARITY.md.  The 1e-5 bound is loose against the measured ~5e-7 —
+    # it catches kernel-layout regressions, not float noise.
+    from mvster_tpu.core.geometry import compose_projection
+    from mvster_tpu.kernels.cost_volume import build_cost_volume
+
+    pr = compose_projection(projs["stage4"])
+    ref_proj, src_projs = pr[:, 0], jnp.stack(
+        [pr[:, i] for i in range(1, v)]
+    )
+    rngf = np.random.default_rng(1)
+    rf = jnp.asarray(rngf.normal(size=(1, h, w, 8)), jnp.float32)
+    sf = jnp.asarray(rngf.normal(size=(v - 1, 1, h, w, 8)), jnp.float32)
+    hypo = out["stage4"]["hypo_depth"]
+
+    def both():
+        kw = dict(group_cor=True, group_dim=4)
+        cvp, nfb = build_cost_volume(
+            rf, sf, ref_proj, src_projs, hypo, impl="pallas",
+            with_fallbacks=True, **kw,
+        )
+        cvx = build_cost_volume(
+            rf, sf, ref_proj, src_projs, hypo, impl="xla", **kw
+        )
+        return jnp.max(jnp.abs(cvp - cvx)), nfb
+
+    err, nfb = jax.jit(both)()
+    print(
+        f"on-chip warp parity (stage4 pallas vs xla): max|d| = "
+        f"{float(err):.2e}, fallbacks {int(nfb)}/{v - 1}"
+    )
+    assert int(nfb) == 0 or float(err) == 0.0, "parity check did not run the kernel"
+    assert float(err) <= 1e-5, f"pallas warp diverged from XLA: {float(err)}"
     print("OK")
 
 

@@ -1,0 +1,116 @@
+"""Space-to-depth conv rewrites are weight-equivalent to the direct convs.
+
+The s2d forms reassociate the f32 sums (16-tap big-kernel dot vs 9-tap
+direct), so equality is to ~1e-5 relative, not bitwise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvster_tpu.nn import s2d
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=shape), jnp.float32
+    )
+
+
+def _direct_conv3x3(x, kernel, bias=None):
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y if bias is None else y + bias
+
+
+def _direct_convT(x, kernel):
+    # the input-dilated formulation ConvTransposeBnReLU3d uses (flipped
+    # kernel, lhs_dilation 2, padding (1, 2)) on the H/W axes
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 2), (1, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@pytest.mark.parametrize(
+    "h,w,cin,cout", [(16, 24, 5, 7), (32, 32, 8, 8), (8, 128, 3, 16)]
+)
+def test_conv3x3_s2d_matches_direct(h, w, cin, cout):
+    x = _rand((2, h, w, cin))
+    k = _rand((3, 3, cin, cout), seed=1)
+    bias = _rand((cout,), seed=2)
+    got = conv3x3 = s2d.conv3x3_s2d(x, k, bias)
+    want = _direct_conv3x3(x, k, bias)
+    assert conv3x3.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("h,w,cin,cout", [(10, 14, 6, 3), (16, 8, 16, 8)])
+def test_convT_s2d_matches_dilated(h, w, cin, cout):
+    x = _rand((2, h, w, cin))
+    k = _rand((3, 3, cin, cout), seed=1)
+    got = s2d.convT3x3s2_s2d(x, k)
+    want = _direct_convT(x, k)
+    assert got.shape == want.shape == (2, 2 * h, 2 * w, cout)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("d,h,w,cin,cout", [(4, 12, 16, 5, 7), (2, 8, 8, 8, 16)])
+def test_conv333_s2d_matches_direct(d, h, w, cin, cout):
+    x = _rand((2, d, h, w, cin))
+    k = _rand((3, 3, 3, cin, cout), seed=1)
+    got = s2d.conv333_s2d(x, k)
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+def test_conv3x3_s2d_gradients_match(monkeypatch):
+    x = _rand((1, 16, 16, 4))
+    k = _rand((3, 3, 4, 8), seed=1)
+
+    def loss_s2d(k_, x_):
+        return jnp.sum(jnp.tanh(s2d.conv3x3_s2d(x_, k_)))
+
+    def loss_direct(k_, x_):
+        return jnp.sum(jnp.tanh(_direct_conv3x3(x_, k_)))
+
+    gk1, gx1 = jax.grad(loss_s2d, argnums=(0, 1))(k, x)
+    gk2, gx2 = jax.grad(loss_direct, argnums=(0, 1))(k, x)
+    np.testing.assert_allclose(gk1, gk2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gx1, gx2, rtol=1e-4, atol=1e-5)
+
+
+def test_s2dconv_module_param_tree_matches_nn_conv(monkeypatch):
+    """Same param names/shapes as nn.Conv -> checkpoints are unaffected."""
+    import flax.linen as nn
+
+    monkeypatch.setattr(s2d, "S2D_MIN_PIXELS", 1)
+    x = _rand((1, 12, 16, 6))
+    m1 = s2d.S2DConv(8, use_bias=True)
+    m2 = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)), use_bias=True)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    t1 = jax.tree.map(lambda a: a.shape, v1)
+    t2 = jax.tree.map(lambda a: a.shape, v2)
+    assert t1 == t2
+    # with identical params the outputs must agree
+    out1 = m1.apply(v2, x)
+    out2 = m2.apply(v2, x)
+    np.testing.assert_allclose(out1, out2, rtol=2e-5, atol=2e-5)
+
+
+def test_s2dconv_module_falls_back_below_threshold():
+    """Non-qualifying shapes take the direct conv path (odd W)."""
+    x = _rand((1, 12, 15, 6))
+    m = s2d.S2DConv(8, use_bias=False)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    want = _direct_conv3x3(x, v["params"]["kernel"])
+    np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-6)

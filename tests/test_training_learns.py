@@ -69,9 +69,9 @@ def _plane_batch(n):
     }
 
 
-def _train(batch_n, steps, mesh=None, lr=1e-3):
+def _train(batch_n, steps, mesh=None, lr=1e-3, cfg=CFG):
     batch = _plane_batch(batch_n)
-    model = MVS4Net(CFG)
+    model = MVS4Net(cfg)
     variables = model.init(
         jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
         batch["depth_values"], train=True,
@@ -115,4 +115,16 @@ def test_training_learns_single_device():
 
 def test_training_learns_8dev_mesh():
     errs, losses = _train(batch_n=8, steps=60, mesh=make_data_mesh(8))
+    _assert_learned(errs, losses)
+
+
+def test_training_learns_bf16():
+    """bf16 conv compute (f32 master params, norms, geometry, losses) must
+    still learn — guards the mixed-precision train step (VERDICT r2 #5).
+    Features are upcast to f32 at the cost-volume boundary so the Pallas
+    warp-fwd/scatter-bwd pair stays active (models/mvs4net.py:_stage)."""
+    import dataclasses
+
+    cfg16 = dataclasses.replace(CFG, compute_dtype="bfloat16")
+    errs, losses = _train(batch_n=2, steps=60, cfg=cfg16)
     _assert_learned(errs, losses)
