@@ -142,3 +142,78 @@ def test_warp_pallas_warp_only_matches():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref_out), rtol=1e-6, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("d,rp", [(4, 4), (4, 2), (8, 2)])
+def test_pallas_warp_rowpacked_layouts(monkeypatch, d, rp):
+    """The production rp>1 row-packed lane layouts (raw/mid stages pick
+    rp up to 4 via _row_pack's size heuristic) must match the XLA path.
+    The heuristic needs h >= 192 to engage — too slow for interpret mode —
+    so force the layout directly; everything downstream (packing
+    transposes, per-vreg metadata, kernel scan variants, unpacking) is the
+    exact production code for those stages."""
+    from mvster_tpu.kernels import pallas_warp
+    from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas
+
+    monkeypatch.setattr(pallas_warp, "_row_pack", lambda dd, hh: rp)
+    sample = plane_scene_sample(3)
+    imgs = jnp.asarray(sample["imgs"])  # (1, 3, 64, 64, 3)
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), d, 64, 64)
+    ref, src = imgs[:, 0], imgs[:, 1]
+    warped = warp_src_feature(src, composed[:, 1], composed[:, 0], hypo)
+    cor_xla = correlate(warped, ref, True, 3)
+
+    x, y = plane_sweep_coords(composed[:, 1], composed[:, 0], hypo)
+    with pltpu.force_tpu_interpret_mode():
+        got, pred = warp_correlate_pallas(src, ref, x, y, 3, return_pred=True)
+    assert bool(pred), "row-packed layout unexpectedly fell back to XLA"
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(cor_xla), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pallas_warp_adaptive_chain_uses_fallback_variant(monkeypatch):
+    """When the primary rp layout's window predicate fails but rp/2 holds,
+    the lax.cond chain must run the rp/2 KERNEL (pred True, kernel
+    numerics), not the XLA fallback — the graceful-degradation contract of
+    wide-baseline geometry at wide images."""
+    from mvster_tpu.kernels import pallas_warp
+    from mvster_tpu.kernels.pallas_warp import (
+        _coord_windows,
+        warp_correlate_pallas,
+    )
+
+    monkeypatch.setattr(pallas_warp, "_row_pack", lambda dd, hh: 4)
+    # At H=64 the default 12 MB budget caps the window at the padded
+    # buffer height, which always covers any in-image span — shrink it to
+    # a 64-row window (the raw-size regime, where the budget binds both
+    # layouts at the same row count) so the rp=4 bands' source span
+    # (b2=32 rows of 2.5x drift) overflows while rp=2's (16 rows) fits.
+    monkeypatch.setattr(pallas_warp, "MAX_FEATURE_BYTES", 64 * 8 * 384 * 4)
+    rng = np.random.default_rng(5)
+    B, D, H, W, C = 1, 4, 64, 64, 6
+    src = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    ref = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    x = jnp.asarray(np.stack(
+        [gx * 1.01 + k for k in range(D)])[None].astype(np.float32))
+    y = jnp.asarray(np.stack(
+        [gy * 2.5 - 20.0 + 1.5 * k for k in range(D)])[None].astype(np.float32))
+
+    p4 = _coord_windows(C, x, y, rp=4)[2]
+    p2 = _coord_windows(C, x, y, rp=2)[2]
+    assert not bool(p4) and bool(p2), (
+        f"geometry no longer splits the variants (p4={p4}, p2={p2}); "
+        f"re-tune the vertical scale"
+    )
+
+    from mvster_tpu.core.sampling import grid_sample_zeros
+
+    want = correlate(grid_sample_zeros(src, x, y), ref, True, 3)
+    with pltpu.force_tpu_interpret_mode():
+        got, pred = warp_correlate_pallas(src, ref, x, y, 3, return_pred=True)
+    assert bool(pred), "chain should report a kernel variant ran"
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
