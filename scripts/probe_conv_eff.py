@@ -90,6 +90,14 @@ def main():
     bench_conv(h, w, 3, 64, 8, dtype=jnp.bfloat16)
     bench_s2d(h, w, 64, 8, f=2, dtype=jnp.bfloat16)
     bench_s2d(h, w, 64, 8, f=4, dtype=jnp.bfloat16)
+    print("== does s2d still pay at cout=32? (S2D_MAX_COUT tuning) ==")
+    # reg2d conv4/conv7 and FPN conv2 run 32-channel 3x3s at 288x400-576x800;
+    # if s2d wins here too, raise nn/s2d.py:S2D_MAX_COUT to 32.
+    for hh, ww in [(576, 800), (288, 400)]:
+        bench_conv(hh, ww, 3, 32, 32)
+        bench_s2d(hh, ww, 32, 32, f=2)
+        bench_conv(hh, ww, 3, 32, 32, dtype=jnp.bfloat16)
+        bench_s2d(hh, ww, 32, 32, f=2, dtype=jnp.bfloat16)
 
 
 if __name__ == "__main__":
