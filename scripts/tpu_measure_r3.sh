@@ -17,4 +17,6 @@ cd "$(dirname "$0")/.."
   timeout 1800 python scripts/bench_components.py 1152 1600 --dtype bfloat16
   echo "=== headline bench.py ==="
   timeout 2400 python bench.py
+  echo "=== conv-efficiency sweep (decides nn/s2d.py S2D_MAX_COUT 16 vs 32) ==="
+  timeout 1200 python scripts/probe_conv_eff.py
 } 2>&1 | tee /tmp/r3_measure.log
