@@ -98,8 +98,11 @@ def bench_train_step_threaded(batch_size=8):
     )
 
 
-def bench_train_step(iters=6):
+def bench_train_step(iters=6, compute_dtype="float32"):
     """Full train step (fwd+bwd+adam) at DTU-mid, batch 2, OT it10 + mono.
+    compute_dtype="bfloat16" benches the bf16-conv mode (f32 master params,
+    norms, geometry, and losses — tests/test_training_learns.py guards that
+    this mode still learns).
 
     chain_latency carries an f32 scalar, so iterations are serialized
     through a 1e-12 batch perturbation from a FIXED initial state (each
@@ -114,7 +117,9 @@ def bench_train_step(iters=6):
     from mvster_tpu.models import MVS4Net, MVS4NetConfig
     from mvster_tpu.utils.profiling import chain_latency
 
-    model = MVS4Net(MVS4NetConfig.dtu_default(mono=True))
+    model = MVS4Net(
+        MVS4NetConfig.dtu_default(mono=True, compute_dtype=compute_dtype)
+    )
     batch = _batch(512, 640, 5, with_gt=True, batch=2)
     variables = jax.jit(
         lambda: model.init(
@@ -182,6 +187,14 @@ def main():
         extras["dtu_raw_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
 
     extras["train_step_ms_mid_b2"] = bench_train_step(iters=4) * 1e3
+    try:
+        extras["train_step_ms_mid_b2_bf16"] = (
+            bench_train_step(iters=4, compute_dtype="bfloat16") * 1e3
+        )
+    except Exception as e:
+        extras["train_step_ms_mid_b2_bf16_error"] = (
+            f"{type(e).__name__}: {e}"[:200]
+        )
     try:
         extras["train_step_ms_mid_b8"] = bench_train_step_threaded(8) * 1e3
     except Exception as e:
