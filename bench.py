@@ -183,6 +183,9 @@ def main():
         raw16 = bench_forward(model16, variables, 1152, 1600, 5, iters=4)
         extras["dtu_raw_bf16_sec_per_view"] = raw16
         extras["dtu_raw_bf16_vs_baseline"] = BASELINE_RAW_SEC_PER_VIEW / raw16
+        mid16 = bench_forward(model16, variables, 512, 640, 5, iters=8)
+        extras["dtu_mid_bf16_sec_per_view"] = mid16
+        extras["dtu_mid_bf16_vs_baseline"] = BASELINE_SEC_PER_VIEW / mid16
     except Exception as e:  # keep the headline if bf16 mode regresses
         extras["dtu_raw_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
 
