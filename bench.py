@@ -150,7 +150,50 @@ def bench_train_step(iters=6, compute_dtype="float32"):
     return chain_latency(one_step, state, batch, iters=iters)
 
 
+def _probe_devices(timeout_s=600):
+    """Bounded jax.devices() probe: the axon TPU tunnel's outage mode is an
+    indefinite HANG (not an error), which would otherwise eat the whole
+    driver budget.  Runs the probe in a daemon thread so a hang can't block
+    process exit."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # UNAVAILABLE etc.
+            result["error"] = f"{type(e).__name__}: {e}"[:300]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return None, f"jax.devices() hung >{timeout_s}s (axon tunnel outage)"
+    if "error" in result:
+        return None, result["error"]
+    return result["devices"], None
+
+
 def main():
+    devices, err = _probe_devices()
+    if err is not None:
+        # one valid JSON line even when the chip is unreachable, so the
+        # driver records a diagnosable artifact instead of a timeout
+        print(
+            json.dumps(
+                {
+                    "metric": "dtu_mid_sec_per_view",
+                    "value": None,
+                    "unit": "s/view (512x640, 5 views, batch 1, forward only)",
+                    "vs_baseline": None,
+                    "error": f"TPU unreachable: {err}",
+                }
+            )
+        )
+        return
+    print(f"devices: {devices}", file=sys.stderr)
+
     from mvster_tpu.models import MVS4Net, MVS4NetConfig
 
     model = MVS4Net(MVS4NetConfig.dtu_default(mono=False))
