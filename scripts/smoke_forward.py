@@ -88,7 +88,10 @@ def main():
     sf = jnp.asarray(rngf.normal(size=(v - 1, 1, h, w, 8)), jnp.float32)
     hypo = out["stage4"]["hypo_depth"]
 
-    def both():
+    # Arguments, NOT closure captures: axon ships jit-embedded constants
+    # with the compile payload, and the raw-size features (~300 MB f32)
+    # blow the tunnel's request-size limit (HTTP 413).
+    def both(rf, sf, ref_proj, src_projs, hypo):
         kw = dict(group_cor=True, group_dim=4)
         cvp, nfb = build_cost_volume(
             rf, sf, ref_proj, src_projs, hypo, impl="pallas",
@@ -99,7 +102,7 @@ def main():
         )
         return jnp.max(jnp.abs(cvp - cvx)), nfb
 
-    err, nfb = jax.jit(both)()
+    err, nfb = jax.jit(both)(rf, sf, ref_proj, src_projs, hypo)
     print(
         f"on-chip warp parity (stage4 pallas vs xla): max|d| = "
         f"{float(err):.2e}, fallbacks {int(nfb)}/{v - 1}"
