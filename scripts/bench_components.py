@@ -81,13 +81,11 @@ def main():
         lambda: model.init(jax.random.PRNGKey(0), imgs, projs, dvals,
                            train=False)
     )()
-    out = jax.jit(
-        lambda vs, im: model.apply(vs, im, projs, dvals, train=False,
-                                   return_debug=True)
-    )(variables, imgs)
-    jax.block_until_ready(out["depth"])
 
-    # --- full forward (the headline this table must sum to)
+    # --- full forward (the headline this table must sum to).  Timed BEFORE
+    # the debug forward: the debug outputs (all-stage features + volumes,
+    # GBs at raw size) would otherwise sit in HBM during the chained run
+    # and OOM the 16 GB chip.
     def full(carry, vs, im):
         o = model.apply(vs, im + 1e-12 * carry, projs, dvals, train=False)
         return jnp.mean(o["depth"]) + jnp.mean(o["photometric_confidence"])
@@ -108,7 +106,13 @@ def main():
     t_fpn = chain_latency(fpn_fn, fvars, flat, iters=4)
     print(f"fpn ({v} views): {t_fpn * 1e3:8.1f} ms")
 
+    out = jax.jit(
+        lambda vs, im: model.apply(vs, im, projs, dvals, train=False,
+                                   return_debug=True)
+    )(variables, imgs)
+    jax.block_until_ready(out["depth"])
     stages = stage_inputs(cfg, out, dvals)
+    del out  # free the debug volumes; stages holds only feat/proj/hypo
     t_cv_all = t_reg_all = t_post_all = 0.0
     for si, (feat, proj, hypo) in enumerate(stages):
         g = cfg.group_cor_dim[si]
@@ -178,6 +182,7 @@ def main():
         t_cv_all += t_cv
         t_reg_all += t_reg
         t_post_all += t_post
+        cor = logits = None  # free the stage volume before the next stage
 
     t_sum = t_fpn + t_cv_all + t_reg_all + t_post_all
     print(
