@@ -55,8 +55,13 @@ def stage_inputs(cfg, out, dvals):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    dtype = "bfloat16" if "--dtype" in " ".join(sys.argv) and "bfloat16" in sys.argv else "float32"
+    argv = sys.argv[1:]
+    dtype = "float32"
+    if "--dtype" in argv:
+        i = argv.index("--dtype")
+        dtype = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     h, w = (int(args[0]), int(args[1])) if len(args) >= 2 else (512, 640)
     v = int(args[2]) if len(args) >= 3 else 5
 
