@@ -90,6 +90,21 @@ def main():
     bench_conv(h, w, 3, 64, 8, dtype=jnp.bfloat16)
     bench_s2d(h, w, 64, 8, f=2, dtype=jnp.bfloat16)
     bench_s2d(h, w, 64, 8, f=4, dtype=jnp.bfloat16)
+    print("== mid-size shapes (S2D_MIN_PIXELS tuning) ==")
+    # The round-3 mid map regressed FPN 18.5 -> 38.5 ms with s2d routed at
+    # mid sizes; measure exactly the mid FPN/reg2d shapes to place the
+    # pixel threshold between the win and loss regions.
+    for hh, ww, ci, co in [
+        (512, 640, 64, 8),    # mid FPN out4
+        (256, 320, 64, 16),   # mid FPN out3
+        (576, 800, 64, 16),   # raw FPN out3
+        (512, 640, 24, 8),    # mid reg2d stage4 (conv333 folded depth-taps)
+        (1152, 1600, 24, 8),  # raw reg2d stage4
+    ]:
+        bench_conv(hh, ww, 3, ci, co)
+        bench_s2d(hh, ww, ci, co, f=2)
+        bench_conv(hh, ww, 3, ci, co, dtype=jnp.bfloat16)
+        bench_s2d(hh, ww, ci, co, f=2, dtype=jnp.bfloat16)
     print("== does s2d still pay at cout=32? (S2D_MAX_COUT tuning) ==")
     # reg2d conv4/conv7 and FPN conv2 run 32-channel 3x3s at 288x400-576x800;
     # if s2d wins here too, raise nn/s2d.py:S2D_MAX_COUT to 32.
