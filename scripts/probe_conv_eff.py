@@ -74,6 +74,29 @@ def bench_s2d(h, w, cin, cout, f=2, k=3, dtype=jnp.float32, iters=6):
     return t
 
 
+def bench_s2d_real(h, w, cin, cout, k=3, dtype=jnp.float32, iters=6):
+    """The PRODUCTION s2d path (nn/s2d.conv3x3_s2d), including the pad /
+    space-to-depth / depth-to-space transposes that bench_s2d excludes —
+    those are full-tensor bandwidth ops and dominate at small sizes."""
+    from mvster_tpu.nn.s2d import conv3x3_s2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, h, w, cin)), dtype)
+    wt = jnp.asarray(rng.normal(size=(k, k, cin, cout)) * 0.1, dtype)
+
+    def fn(carry, x_, w_):
+        y = conv3x3_s2d(x_ + jnp.asarray(1e-12 * carry, dtype), w_)
+        return jnp.mean(y.astype(jnp.float32))
+
+    t = chain_latency(fn, x, wt, iters=iters)
+    tf = conv_flops(h, w, k, cin, cout) / t / 1e12
+    print(
+        f"s2dREAL conv {k}x{k} {cin:4d}->{cout:4d} @ {h}x{w} {x.dtype.name}"
+        f" (incl. transforms): {t * 1e3:8.2f} ms  (useful {tf:6.2f} TF/s)"
+    )
+    return t
+
+
 def main():
     h, w = 1152, 1600
     print(f"== channel sweep, 3x3 @ {h}x{w} f32 ==")
@@ -102,9 +125,9 @@ def main():
         (1152, 1600, 24, 8),  # raw reg2d stage4
     ]:
         bench_conv(hh, ww, 3, ci, co)
-        bench_s2d(hh, ww, ci, co, f=2)
+        bench_s2d_real(hh, ww, ci, co)
         bench_conv(hh, ww, 3, ci, co, dtype=jnp.bfloat16)
-        bench_s2d(hh, ww, ci, co, f=2, dtype=jnp.bfloat16)
+        bench_s2d_real(hh, ww, ci, co, dtype=jnp.bfloat16)
     print("== does s2d still pay at cout=32? (S2D_MAX_COUT tuning) ==")
     # reg2d conv4/conv7 and FPN conv2 run 32-channel 3x3s at 288x400-576x800;
     # if s2d wins here too, raise nn/s2d.py:S2D_MAX_COUT to 32.
