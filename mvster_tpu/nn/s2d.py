@@ -7,7 +7,10 @@ shapes (scripts/probe_conv_eff.py), which is why FPN4 + reg2d cost
 the conv to operate on f=2 space-to-depth blocks multiplies both channel
 axes by 4 at 1/4 the spatial positions: same math (exact weight transform
 below, tests/test_s2d.py), ~4x the lane utilization.  Measured on the
-probe: 1.9x (f32) to 4x (bf16) on FPN's out4 (64->8 @ 1152x1600).
+ISOLATED-conv probe: 1.9x (f32) to 4x (bf16) on FPN's out4
+(64->8 @ 1152x1600) — but the win does NOT survive inside the compiled
+model (round-3 on-chip maps: FPN/reg2d all regress), so routing is OFF
+by default (S2D_ENABLED below).
 
 The transforms are weight-EQUIVALENT, not approximations — parameter
 trees, checkpoint conversion and training gradients are unchanged; only
@@ -42,6 +45,7 @@ Derivations (f=2, one axis; the 2D case is the outer product):
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -75,10 +79,27 @@ for _si in range(2):
             _TR_TAP[_si, _oi] = _k
 
 
+# ROUTING IS OFF BY DEFAULT (round 4).  The isolated-conv probe predicted a
+# 1.9x f32 win on FPN's out4 at raw sizes, but judge-measured on-chip
+# component maps (VERDICT.md round 3, BENCHNOTES.md) show the routed model
+# LOSES everywhere once the pad/space_to_depth/depth_to_space transposes sit
+# in the compiled graph: mid FPN 18.5 -> 39.1 ms, raw FPN 144.3 -> 269.1 ms,
+# raw reg2d 97.7 -> 130.9 ms.  The transforms stay (weight-equivalent,
+# tested in tests/test_s2d.py) but routing must be re-enabled explicitly —
+# set MVSTER_S2D=1 only with an on-chip in-model A/B blessing the routed
+# shapes (scripts/probe_conv_eff.py bench_s2d_real / probe_s2d_model.py).
+S2D_ENABLED = os.environ.get("MVSTER_S2D", "0") == "1"
+
+
 def use_s2d(h: int, w: int, cout: int) -> bool:
-    """Static shape heuristic: route a 3x3/transpose conv through s2d?"""
+    """Static shape heuristic: route a 3x3/transpose conv through s2d?
+
+    Gated on S2D_ENABLED (default False): the rewrite is measured to lose
+    in-model on v5e despite winning in isolation (see note above).
+    """
     return (
-        cout <= S2D_MAX_COUT
+        S2D_ENABLED
+        and cout <= S2D_MAX_COUT
         and h % 2 == 0
         and w % 2 == 0
         and h * w >= S2D_MIN_PIXELS

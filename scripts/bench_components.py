@@ -55,15 +55,16 @@ def stage_inputs(cfg, out, dvals):
 
 
 def main():
-    argv = sys.argv[1:]
-    dtype = "float32"
-    if "--dtype" in argv:
-        i = argv.index("--dtype")
-        dtype = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
-    args = [a for a in argv if not a.startswith("--")]
-    h, w = (int(args[0]), int(args[1])) if len(args) >= 2 else (512, 640)
-    v = int(args[2]) if len(args) >= 3 else 5
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dims", nargs="*", type=int, metavar="H W [V]")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ns = ap.parse_args()
+    dtype = ns.dtype
+    h, w = (ns.dims[0], ns.dims[1]) if len(ns.dims) >= 2 else (512, 640)
+    v = ns.dims[2] if len(ns.dims) >= 3 else 5
 
     from helpers import synthetic_sample
 

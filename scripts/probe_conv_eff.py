@@ -97,6 +97,39 @@ def bench_s2d_real(h, w, cin, cout, k=3, dtype=jnp.float32, iters=6):
     return t
 
 
+def bench_conv333_pair(d, h, w, cin, cout, dtype=jnp.float32, iters=6):
+    """The PRODUCTION reg2d aggregation pair: 3D NDHWC (3,3,3) SAME conv
+    vs nn/s2d.conv333_s2d on the real (B, D, H, W, C) shape — the A/B that
+    actually places S2D_MIN_PIXELS for the reg2d rows (ADVICE r3)."""
+    from mvster_tpu.nn.s2d import conv333_s2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, d, h, w, cin)), dtype)
+    wt = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, dtype)
+    flops = d * conv_flops(h, w, 3, 3 * cin, cout)
+
+    def f3d(carry, x_, w_):
+        y = jax.lax.conv_general_dilated(
+            x_ + jnp.asarray(1e-12 * carry, dtype), w_, (1, 1, 1),
+            ((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return jnp.mean(y.astype(jnp.float32))
+
+    def fs2d(carry, x_, w_):
+        y = conv333_s2d(x_ + jnp.asarray(1e-12 * carry, dtype), w_)
+        return jnp.mean(y.astype(jnp.float32))
+
+    t0 = chain_latency(f3d, x, wt, iters=iters)
+    t1 = chain_latency(fs2d, x, wt, iters=iters)
+    print(
+        f"conv333 {cin:3d}->{cout:3d} @ D{d} {h}x{w} {x.dtype.name}: "
+        f"direct3d {t0 * 1e3:8.2f} ms ({flops / t0 / 1e12:5.2f} TF/s) | "
+        f"s2dREAL {t1 * 1e3:8.2f} ms ({flops / t1 / 1e12:5.2f} TF/s)"
+    )
+    return t0, t1
+
+
 def main():
     h, w = 1152, 1600
     print(f"== channel sweep, 3x3 @ {h}x{w} f32 ==")
@@ -121,13 +154,20 @@ def main():
         (512, 640, 64, 8),    # mid FPN out4
         (256, 320, 64, 16),   # mid FPN out3
         (576, 800, 64, 16),   # raw FPN out3
-        (512, 640, 24, 8),    # mid reg2d stage4 (conv333 folded depth-taps)
-        (1152, 1600, 24, 8),  # raw reg2d stage4
     ]:
         bench_conv(hh, ww, 3, ci, co)
         bench_s2d_real(hh, ww, ci, co)
         bench_conv(hh, ww, 3, ci, co, dtype=jnp.bfloat16)
         bench_s2d_real(hh, ww, ci, co, dtype=jnp.bfloat16)
+    # reg2d stage4 rows: the production pair is the 3D NDHWC conv vs
+    # conv333_s2d on the real (B, D, H, W, C) shape (ADVICE r3) — the
+    # folded-batch 2D proxy above mis-prices both sides.
+    for dd, hh, ww, ci, co in [
+        (4, 512, 640, 8, 8),     # mid reg2d stage4 agg conv
+        (4, 1152, 1600, 8, 8),   # raw reg2d stage4 agg conv
+    ]:
+        bench_conv333_pair(dd, hh, ww, ci, co)
+        bench_conv333_pair(dd, hh, ww, ci, co, dtype=jnp.bfloat16)
     print("== does s2d still pay at cout=32? (S2D_MAX_COUT tuning) ==")
     # reg2d conv4/conv7 and FPN conv2 run 32-channel 3x3s at 288x400-576x800;
     # if s2d wins here too, raise nn/s2d.py:S2D_MAX_COUT to 32.

@@ -40,8 +40,8 @@ def main(h=1152, w=1600):
         return jnp.mean(reg.apply(v, x + 1e-12 * carry))
 
     for on in [False, True]:
-        saved = s2d.S2D_MIN_PIXELS
-        s2d.S2D_MIN_PIXELS = saved if on else 1 << 62
+        saved = s2d.S2D_ENABLED
+        s2d.S2D_ENABLED = on  # routing is default-off since round 4
         try:
             t_f = chain_latency(fpn_fn, fpn_vars, imgs, iters=6)
             t_r = chain_latency(reg_fn, reg_vars, vol, iters=6)
@@ -50,7 +50,7 @@ def main(h=1152, w=1600):
                 f"FPN4(5v) {t_f * 1e3:7.2f} ms   reg2d-s4 {t_r * 1e3:7.2f} ms"
             )
         finally:
-            s2d.S2D_MIN_PIXELS = saved
+            s2d.S2D_ENABLED = saved
 
 
 if __name__ == "__main__":
