@@ -117,7 +117,9 @@ class MVS4Net(nn.Module):
         depth_max = depth_values[:, -1]
         depth_interval = (depth_max - depth_min) / k
 
-        compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        compute_dtype = {"bfloat16": jnp.bfloat16, "float64": jnp.float64}.get(
+            cfg.compute_dtype, jnp.float32
+        )  # float64: numerics-debugging mode (needs jax_enable_x64)
 
         # --- feature extraction: fold views into batch for one big conv batch
         if cfg.arch_mode == "fpn":
@@ -247,7 +249,9 @@ class MVS4Net(nn.Module):
                 cfg.stage_splits[stage_idx], name=f"pos_enc_{stage_idx}"
             )(cor_feats)
 
-        compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        compute_dtype = {"bfloat16": jnp.bfloat16, "float64": jnp.float64}.get(
+            cfg.compute_dtype, jnp.float32
+        )  # float64: numerics-debugging mode (needs jax_enable_x64)
         if cfg.reg_net == "reg2d":
             regnet = Reg2d(cfg.reg_channel, cfg.agg_type, dtype=compute_dtype,
                            name=f"reg_{stage_idx}")

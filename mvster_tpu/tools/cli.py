@@ -110,6 +110,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "or pallas (VMEM-fused fwd+bwd kernel, "
                         "kernels/pallas_sinkhorn.py; discrete OT only)")
     p.add_argument("--rt", action="store_true")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each batch into N sequential microbatches, "
+                        "accumulate gradients, apply one optimizer update — "
+                        "peak activation memory of one microbatch "
+                        "(dist/train_step.py)")
     p.add_argument("--use_raw_train", action="store_true")
     p.add_argument("--num_workers", type=int, default=0,
                    help="decode samples in N worker processes (0 = in-process)")

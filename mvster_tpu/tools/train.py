@@ -153,7 +153,8 @@ def main(argv=None):
     state = jax.device_put(state, replicated)
 
     train_step = make_train_step(
-        model, tx, loss_fn=loss_fn, loss_kwargs=loss_kwargs, mesh=mesh
+        model, tx, loss_fn=loss_fn, loss_kwargs=loss_kwargs, mesh=mesh,
+        grad_accum=getattr(args, "grad_accum", 1),
     )
     eval_step = make_eval_step(model, loss_fn=loss_fn, loss_kwargs=loss_kwargs,
                                mesh=mesh)

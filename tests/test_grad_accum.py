@@ -1,0 +1,202 @@
+"""Gradient accumulation (dist/train_step.make_train_step grad_accum=N).
+
+Two-level verification strategy:
+
+1. IMPLEMENTATION exactness (tight tolerance): the grad_accum=2 step must
+   equal a hand-rolled loop that computes value_and_grad per microbatch at
+   the INITIAL params (threading batch_stats sequentially), means the
+   gradients, and applies ONE optimizer update.  Both sides run the same
+   microbatch shapes, so this isolates the scan/accumulate/update logic
+   from XLA program-shape effects.
+
+2. SEMANTIC closeness to the full-batch step (loose tolerance): with a
+   duplicated-sample batch the two are equal in exact arithmetic (each
+   microbatch's BatchNorm statistics equal the full batch's; the mean of
+   identical microbatch gradients equals the full-batch gradient).  In
+   f32 they are NOT bitwise equal — the B=2 and B=1 programs compile to
+   different conv tilings/reduction orders, and the cascade's
+   soft-argmax depth regression amplifies that ~1e-5-relative forward
+   wobble into percent-level noise on small gradient entries (measured:
+   forwards of identical inputs under the two batch shapes differ by
+   ~3e-5 on attn_weight; the same effect exists between any two batch
+   sizes and is not specific to accumulation).  So the full-batch check
+   asserts loss equality and gradient-update DIRECTION (per-leaf relative
+   L2), not elementwise tight equality.
+
+This feature is also the published route to batch-8 train-step numbers:
+the XLA compile helper in this environment rejects the monolithic b8
+program, while grad_accum=2 compiles the b4 program once (BENCHNOTES.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mvster_tpu.dist.train_step import create_train_state, make_train_step
+from mvster_tpu.models import MVS4Net, MVS4NetConfig
+from mvster_tpu.models.losses import mvs4net_loss
+from tests.helpers import synthetic_sample
+
+LOSS_KW = dict(inverse_depth=True, ot_iter=4, mono=True)
+
+
+def _dup_batch(h=64, w=64, v=3):
+    s = synthetic_sample(0, batch=1, nviews=v, h=h, w=w, with_gt=True)
+
+    def dup(x):
+        x = jnp.asarray(x)
+        return jnp.concatenate([x, x], axis=0)
+
+    batch = {
+        "imgs": dup(s["imgs"]),
+        "proj_matrices": {k: dup(p) for k, p in s["proj_matrices"].items()},
+        "depth_values": dup(s["depth_values"]),
+        "depth": {k: dup(x) for k, x in s["depth"].items()},
+        "mask": {k: dup(x) for k, x in s["mask"].items()},
+    }
+    return batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MVS4Net(MVS4NetConfig.dtu_default(mono=True))
+    batch = _dup_batch()
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], train=True,
+    )
+    tx = optax.adam(1e-3)
+    return model, tx, variables, batch
+
+
+def _manual_accum_update(model, tx, variables, batch, a=2):
+    """Reference implementation: per-microbatch value_and_grad at the
+    initial params, batch_stats threaded sequentially, mean gradient, one
+    optimizer update."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    opt_state = tx.init(params)
+    n = batch["imgs"].shape[0]
+    m = n // a
+
+    def loss_of(p, st, mb):
+        outputs, mutated = model.apply(
+            {"params": p, "batch_stats": st},
+            mb["imgs"], mb["proj_matrices"], mb["depth_values"], train=True,
+            mutable=["batch_stats"],
+        )
+        loss, _ = mvs4net_loss(
+            outputs, mb["depth"], mb["mask"],
+            depth_values=mb["depth_values"], **LOSS_KW,
+        )
+        return loss, mutated["batch_stats"]
+
+    vg = jax.jit(jax.value_and_grad(loss_of, has_aux=True))
+    gacc = None
+    losses = []
+    for i in range(a):
+        mb = jax.tree_util.tree_map(
+            lambda x: x[i * m:(i + 1) * m], dict(batch)
+        )
+        (loss, stats), g = vg(params, stats, mb)
+        losses.append(float(loss))
+        gacc = g if gacc is None else jax.tree_util.tree_map(
+            jnp.add, gacc, g
+        )
+    grads = jax.tree_util.tree_map(lambda g: g / a, gacc)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    return new_params, stats, float(np.mean(losses))
+
+
+def test_accum_step_matches_manual_microbatch_loop(setup):
+    """The scan-based grad_accum step IS mean-of-microbatch-grads + one
+    update: tight tolerance, same microbatch shapes on both sides."""
+    model, _, variables, batch = setup
+    tx = optax.sgd(1e-2)
+    step = make_train_step(
+        model, tx, grad_accum=2, donate=False, loss_kwargs=LOSS_KW,
+    )
+    state, scalars, _ = step(create_train_state(variables, tx), batch)
+    ref_params, ref_stats, ref_loss = _manual_accum_update(
+        model, tx, variables, batch, a=2
+    )
+
+    np.testing.assert_allclose(float(scalars["loss"]), ref_loss, rtol=1e-5)
+    flat_a, _ = jax.tree_util.tree_flatten(state.params)
+    flat_r, _ = jax.tree_util.tree_flatten(ref_params)
+    flat_0, _ = jax.tree_util.tree_flatten(variables["params"])
+    for p0, a_, r_ in zip(flat_0, flat_a, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a_ - p0), np.asarray(r_ - p0), rtol=1e-4,
+            atol=1e-7 + 1e-5 * float(jnp.abs(r_ - p0).max()),
+        )
+    flat_sa, _ = jax.tree_util.tree_flatten(state.batch_stats)
+    flat_sr, _ = jax.tree_util.tree_flatten(ref_stats)
+    for a_, r_ in zip(flat_sa, flat_sr):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(r_), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_accum_update_close_to_full_batch_on_duplicated_samples(setup):
+    """Loss equal; updates directionally equal (per-leaf relative L2).
+    Elementwise equality does NOT hold in f32 — see module docstring —
+    so this asserts the update vectors agree to 5% in norm (worst
+    measured leaf on CPU: 2.6%), which the program-shape rounding
+    satisfies while any real semantics bug (wrong scaling: 50%+, stale
+    stats, dropped microbatch) would not."""
+    model, _, variables, batch = setup
+    tx = optax.sgd(1e-2)
+    kw = dict(loss_kwargs=LOSS_KW, donate=False)
+    step1 = make_train_step(model, tx, grad_accum=1, **kw)
+    step2 = make_train_step(model, tx, grad_accum=2, **kw)
+
+    s1, sc1, _ = step1(create_train_state(variables, tx), batch)
+    s2, sc2, _ = step2(create_train_state(variables, tx), batch)
+
+    np.testing.assert_allclose(
+        float(sc1["loss"]), float(sc2["loss"]), rtol=1e-5
+    )
+    flat1, _ = jax.tree_util.tree_flatten(s1.params)
+    flat2, _ = jax.tree_util.tree_flatten(s2.params)
+    flat0, _ = jax.tree_util.tree_flatten(variables["params"])
+    for p0, a, b in zip(flat0, flat1, flat2):
+        da = np.asarray(a - p0).ravel()
+        db = np.asarray(b - p0).ravel()
+        denom = np.linalg.norm(da)
+        if denom < 1e-12:  # exactly-zero grads (e.g. softmax-shift bias)
+            assert np.linalg.norm(db) < 1e-8
+            continue
+        rel = np.linalg.norm(da - db) / denom
+        assert rel < 5e-2, (rel, da.shape)
+
+
+def test_accum_contract_shapes(setup):
+    """Scalar dict entries are scalars; images reassemble the FULL batch."""
+    model, tx, variables, batch = setup
+    step = make_train_step(
+        model, tx, grad_accum=2, donate=False,
+        loss_kwargs=dict(inverse_depth=True, ot_iter=2, mono=True),
+    )
+    state, scalars, images = step(create_train_state(variables, tx), batch)
+    assert int(state.step) == 1
+    for k, v in scalars.items():
+        assert jnp.shape(v) == (), k
+        assert np.isfinite(float(v)), k
+    b = batch["imgs"].shape[0]
+    for k, v in images.items():
+        assert v.shape[0] == b, (k, v.shape)
+
+
+def test_accum_rejects_indivisible_batch(setup):
+    model, tx, variables, _ = setup
+    batch3 = _dup_batch()
+    batch3 = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x, x[:1]], axis=0), batch3
+    )
+    step = make_train_step(model, tx, grad_accum=2, donate=False)
+    with pytest.raises(AssertionError):
+        step(create_train_state(variables, tx), batch3)
