@@ -116,6 +116,7 @@ def build_cost_volume(
     attn_fuse_d: bool = True,
     impl: str = "xla",
     with_fallbacks: bool = False,
+    force_rp: int | None = None,
 ):
     """Fused multi-view cost volume with online cross-view normalization.
 
@@ -135,6 +136,10 @@ def build_cost_volume(
         Always 0 for impl="xla".  The cond predicate is computed anyway,
         so this costs nothing — it makes silent degradation observable
         (surfaced as the "warp_fallbacks" model output).
+      force_rp: pin the Pallas kernel's row-pack layout to one variant —
+        measurement-only knob for the rp sweeps that place _row_pack's
+        thresholds (scripts/bench_components.py --rp-sweep); production
+        callers leave it None.
 
     Returns:
       (B, D, H, W, G or C) attention-fused correlation volume
@@ -163,7 +168,8 @@ def build_cost_volume(
 
             x, y = plane_sweep_coords(src_projs[v], ref_proj, depth_hypo)
             cor, pred = warp_correlate_pallas(
-                src_feats[v], ref_feat, x, y, group_dim, return_pred=True
+                src_feats[v], ref_feat, x, y, group_dim, return_pred=True,
+                force_rp=force_rp,
             )
             fallbacks = fallbacks + (1 - pred.astype(jnp.int32))
         else:

@@ -141,20 +141,25 @@ def _row_pack(d: int, h: int) -> int:
     Packing more rows amortizes the per-scan fixed terms (depth spread +
     bilinear +2) over rp rows and shrinks the epipolar-tilt term by
     narrowing the column group; the cost is the rp-row drift joining the
-    span.  Sweep on production DTU-rig geometry (scripts/probe_row_pack.py,
-    raw 1152x1600): stage4 D4 rp=4 -> 1.67x less predicted scan work,
-    stage3 D4 rp=4 -> 1.32x, stage2 D8 rp=2 -> 1.08x, stage1 D8 rp=1.
-    The band height scales to 8*rp vreg-rows (Mosaic needs block
-    second-to-last dims divisible by 8), so h must divide 8*rp; heuristic
-    keyed on stage size."""
+    span plus deeper per-vreg window metadata.  The scan-work model
+    (scripts/probe_row_pack.py) predicted rp=4 wins at the big stages,
+    but the ON-CHIP sweep (scripts/bench_components.py --rp-sweep,
+    v5e, DTU rig, full cost-volume latency in ms) says predicted scan
+    work is not latency:
+
+      raw  stage1 144x200  D8: rp1  6.9 | rp2  9.9
+      raw  stage2 288x400  D8: rp1 24.1 | rp2 31.4 | rp4 34.6
+      raw  stage3 576x800  D4: rp1 43.0 | rp2 46.8 | rp4 51.7
+      raw  stage4 1152x1600 D4: rp1 215.8 | rp2 198.9 | rp4 202.6
+      mid  stage4 512x640  D4: rp1 20.2 | rp4 24.3 (judge r3)
+
+    So: rp=1 everywhere except D4 at h>=1152 (raw/eth3d stage4) where
+    rp=2's narrower column groups win ~8%.  The band height scales to
+    8*rp vreg-rows (Mosaic needs block second-to-last dims divisible by
+    8), so h must divide 8*rp."""
     if d <= 0 or LANE % d:
         return 1
-    if d == 4:
-        rp = 4 if h >= 384 else (2 if h >= 192 else 1)
-    elif d == 8:
-        rp = 2 if h >= 256 else 1
-    else:
-        rp = 1
+    rp = 2 if (d == 4 and h >= 1152) else 1
     while rp > 1 and (LANE % (rp * d) or h % (8 * rp)):
         rp //= 2
     return rp
@@ -409,6 +414,7 @@ def warp_correlate_pallas(
     *,
     interpret: bool = False,
     return_pred: bool = False,
+    force_rp: int | None = None,
 ):
     """Fused warp + group correlation -> (B, D, H, W, G), channels-last.
 
@@ -421,9 +427,14 @@ def warp_correlate_pallas(
     return_pred=True also returns the bool predicate (True = ran on the
     kernel) so callers can surface silent degradation (build_cost_volume
     aggregates it into the per-stage "warp_fallbacks" model output).
+
+    force_rp pins the row-pack layout to a single variant (no rp/2 chain)
+    — measurement-only knob behind scripts/bench_warp.py's rp sweep, which
+    is how `_row_pack`'s thresholds are placed; production callers leave it
+    None.
     """
     out, pred = _warp_impl(src_feat, ref_feat, x, y, group_dim, True,
-                           interpret)
+                           interpret, force_rp=force_rp)
     return (out, pred) if return_pred else out
 
 
@@ -470,9 +481,9 @@ def _coord_windows(c: int, x, y, rp: int | None = None):
     output ROWS x all D hypotheses x pc = 128/(rp*D) columns.  The scan
     count per vreg is ~slope * pc + depth-spread + rp-drift + 2, so
     narrowing the column group cuts the dominant tilt term while packing
-    rows amortizes the fixed terms — measured sweep in
-    scripts/probe_row_pack.py (raw stage4: rp=4 is 1.67x less scan work
-    than rp=1).  Widths not divisible by the group are OUTPUT-padded
+    rows amortizes the fixed terms — but the on-chip rp sweep shows scan
+    work is not latency (rp>1 only wins at D4 h>=1152; measured table in
+    _row_pack).  Widths not divisible by the group are OUTPUT-padded
     (edge coords) to the next multiple and sliced after: the unpacked
     layout's out block (d x cp x band) otherwise overflows VMEM in
     warp-only mode at wide narrow-group shapes (e.g. raw stage1, 200
@@ -558,7 +569,8 @@ def warp_predicate(channels: int, x, y) -> jnp.ndarray:
     return functools.reduce(jnp.logical_or, preds)
 
 
-def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
+def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret,
+               force_rp=None):
     b, hs, ws, c = src_feat.shape
     _, d, h, w = x.shape
     assert (hs, ws) == (h, w), "pallas warp expects matching view resolutions"
@@ -639,9 +651,8 @@ def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret):
     # variant chain: heuristic rp first, then rp/2, then XLA — preds are
     # cheap coord reductions; the branch bodies (packing + kernel) only
     # execute when selected
-    variants = [
-        _coord_windows(c, x, y, rp=rp) for rp in _variant_rps(d, h)
-    ]
+    rps = [force_rp] if force_rp is not None else _variant_rps(d, h)
+    variants = [_coord_windows(c, x, y, rp=rp) for rp in rps]
     branch = xla_path
     pred_any = jnp.zeros((), bool)
     for meta_row, shift, pred, L in reversed(variants):

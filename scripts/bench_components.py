@@ -61,6 +61,11 @@ def main():
     ap.add_argument("dims", nargs="*", type=int, metavar="H W [V]")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--rp-sweep", action="store_true",
+                    help="per stage, also time the Pallas cost volume with "
+                    "the row-pack layout pinned to rp=1/2/4 on the REAL "
+                    "production geometry — the measured table that places "
+                    "kernels/pallas_warp._row_pack's thresholds")
     ns = ap.parse_args()
     dtype = ns.dtype
     h, w = (ns.dims[0], ns.dims[1]) if len(ns.dims) >= 2 else (512, 640)
@@ -139,6 +144,43 @@ def main():
             return jnp.mean(cor)
 
         t_cv = chain_latency(cv_fn, feat, hypo, iters=4)
+
+        if ns.rp_sweep:
+            cells = []
+            for rp in (1, 2, 4):
+                nd_ = hypo.shape[1]
+                if 128 % (rp * nd_) or hs % (8 * rp):
+                    continue
+
+                def cv_rp(carry, f, hy, rp=rp):
+                    ref = f[:, 0] + 1e-12 * carry
+                    srcs = [f[:, i] for i in range(1, f.shape[1])]
+                    cor, fb = build_cost_volume(
+                        ref, srcs, proj[:, 0],
+                        [proj[:, i] for i in range(1, v)],
+                        hy, group_cor=cfg.group_cor, group_dim=g,
+                        attn_temp=cfg.attn_temp, attn_fuse_d=cfg.attn_fuse_d,
+                        impl="pallas", force_rp=rp, with_fallbacks=True,
+                    )
+                    return jnp.mean(cor) + 0.0 * fb.astype(jnp.float32)
+
+                # feasibility first: a pinned layout that falls back to XLA
+                # would time the wrong thing
+                _, fb = jax.jit(
+                    lambda f, hy, rp=rp: build_cost_volume(
+                        f[:, 0], [f[:, i] for i in range(1, f.shape[1])],
+                        proj[:, 0], [proj[:, i] for i in range(1, v)], hy,
+                        group_cor=cfg.group_cor, group_dim=g,
+                        attn_temp=cfg.attn_temp, attn_fuse_d=cfg.attn_fuse_d,
+                        impl="pallas", force_rp=rp, with_fallbacks=True,
+                    )
+                )(feat, hypo)
+                if int(fb) > 0:
+                    cells.append(f"rp{rp} fallback")
+                    continue
+                t_rp = chain_latency(cv_rp, feat, hypo, iters=4)
+                cells.append(f"rp{rp} {t_rp * 1e3:7.2f} ms")
+            print(f"    stage{si + 1} rp sweep: " + " | ".join(cells))
 
         cor = jax.jit(
             lambda f, hy: build_cost_volume(
