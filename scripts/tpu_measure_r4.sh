@@ -12,10 +12,10 @@ cd "$(dirname "$0")/.."
 {
   echo "=== smoke_forward mid (correctness + on-chip warp parity) ==="
   timeout 1200 python scripts/smoke_forward.py 512 640 5
-  echo "=== component map + rp sweep, raw f32 ==="
-  timeout 2400 python scripts/bench_components.py 1152 1600 --rp-sweep
-  echo "=== component map + rp sweep, mid f32 ==="
-  timeout 1800 python scripts/bench_components.py 512 640 --rp-sweep
+  echo "=== component map, raw f32 ==="
+  timeout 2400 python scripts/bench_components.py 1152 1600
+  echo "=== component map, mid f32 ==="
+  timeout 1800 python scripts/bench_components.py 512 640
   echo "=== component map raw bf16 ==="
   timeout 1800 python scripts/bench_components.py 1152 1600 --dtype bfloat16
   echo "=== FPN per-layer map at raw (places the conv-cliff attack) ==="
