@@ -86,11 +86,71 @@ def _interp_matrix(dtype, in_size: int, out_size: int) -> jnp.ndarray:
     return mat.astype(dtype)
 
 
+def _stencil2x_weights(n: int):
+    """Per-output tap weights for an align-corners 2x upsample (n -> 2n).
+
+    With out = 2n, every output index i reads inputs lo_i and lo_i+1 where
+    lo_i ∈ {i//2 - 1, i//2} (because i*scale = i/2 - i/(2(2n-1)) and the
+    deficit stays below 1/2 for i < 2n).  So on the nearest-2x-repeated
+    tensor xr (xr[i] = x[i//2]) the resize is a 3-tap stencil at offsets
+    {-2, 0, +2}:   out[i] = cm[i]*xr[i-2] + c0[i]*xr[i] + cp[i]*xr[i+2].
+    cm is zero for i<2 and cp zero for i>=2n-2, so cyclic rolls are safe.
+
+    The arithmetic replicates `_interp_matrix`'s f32 ops exactly (same
+    pos/lo/frac values), so the stencil output matches the einsum path
+    bitwise per tap.  Returns numpy float32 arrays (cm, c0, cp) of shape
+    (2n,), computed at trace time (static shapes).
+    """
+    import numpy as np
+
+    out = 2 * n
+    scale = (n - 1) / (out - 1) if out > 1 else 0.0
+    pos = (np.arange(out, dtype=np.float32) * np.float32(scale)).astype(np.float32)
+    lo = np.clip(np.floor(pos).astype(np.int32), 0, max(n - 2, 0))
+    frac = (pos - lo.astype(np.float32)).astype(np.float32)
+    half = np.arange(out, dtype=np.int32) // 2
+    one = np.float32(1.0)
+    cm = np.where(lo == half - 1, one - frac, np.float32(0.0))
+    c0 = np.where(lo == half, one - frac, np.float32(0.0)) + np.where(
+        lo + 1 == half, frac, np.float32(0.0)
+    )
+    cp = np.where(lo + 1 == half + 1, frac, np.float32(0.0))
+    return cm, c0, cp
+
+
+def _upsample2x_align_corners_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Align-corners 2x upsample along one axis as a fusable VPU stencil.
+
+    Replaces the dense interpolation-matrix einsum for the exact-2x case:
+    the einsum is a skinny 2-nonzeros-per-row matmul the MXU runs at <1%
+    utilization (measured 50.9 ms for FPN's /2->/1 64-channel upsample at
+    1152x1600 — ~50x off bandwidth speed-of-light), while repeat + 3-tap
+    weighted sum is pure elementwise work XLA fuses into one bandwidth-
+    bound loop.  Runs in x.dtype like the surrounding compute.
+    """
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    cm, c0, cp = _stencil2x_weights(n)
+    shape = [1] * x.ndim
+    shape[axis] = 2 * n
+    cm = jnp.asarray(cm.reshape(shape), x.dtype)
+    c0 = jnp.asarray(c0.reshape(shape), x.dtype)
+    cp = jnp.asarray(cp.reshape(shape), x.dtype)
+    xr = jnp.repeat(x, 2, axis=axis)
+    return (
+        c0 * xr
+        + cm * jnp.roll(xr, 2, axis=axis)
+        + cp * jnp.roll(xr, -2, axis=axis)
+    )
+
+
 def resize_linear_1d(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
-    """Align-corners linear resize along one axis via a dense matmul."""
+    """Align-corners linear resize along one axis (stencil if 2x, else matmul)."""
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if out_size == 2 * in_size:
+        return _upsample2x_align_corners_axis(x, axis)
     mat = _interp_matrix(x.dtype, in_size, out_size)
     moved = jnp.moveaxis(x, axis, -1)
     out = jnp.matmul(moved, mat.T, precision=jax.lax.Precision.HIGHEST)
@@ -102,14 +162,18 @@ def resize_bilinear_align_corners(
 ) -> jnp.ndarray:
     """(..., H, W, C) -> (..., out_h, out_w, C), align_corners=True bilinear.
 
-    One einsum over both interpolation matrices: XLA chooses contraction
-    order and layouts itself, which measures 2.5x faster than the explicit
-    moveaxis+matmul chain at FPN shapes (3.6 -> 1.4 ms for the 256x320x64
-    -> 512x640 five-view upsample).
+    Exact-2x resizes (the FPN top-down pathway, mvs4net_utils.py:419-502)
+    take the elementwise stencil path; everything else is one einsum over
+    both interpolation matrices (XLA chooses contraction order and layouts
+    itself, which measures 2.5x faster than the explicit moveaxis+matmul
+    chain at FPN shapes).
     """
     h, w = x.shape[-3], x.shape[-2]
     if h == out_h and w == out_w:
         return x
+    if out_h == 2 * h and out_w == 2 * w:
+        x = _upsample2x_align_corners_axis(x, -3)
+        return _upsample2x_align_corners_axis(x, -2)
     mh = _interp_matrix(x.dtype, h, out_h)
     mw = _interp_matrix(x.dtype, w, out_w)
     return jnp.einsum(
@@ -125,8 +189,15 @@ def resize_trilinear_align_corners(
 
     Operates on the trailing three axes (no channel axis), which is how the
     reference upsamples depth-hypothesis volumes (mvs4net_utils.py:85,98).
+    The cascade's hypothesis upsample doubles H and W each stage; those
+    axes take the 2x stencil path, with the depth axis resized by matmul
+    only when it actually changes.
     """
     d, h, w = x.shape[-3], x.shape[-2], x.shape[-1]
+    if out_h == 2 * h and out_w == 2 * w:
+        x = resize_linear_1d(x, out_d, axis=-3)
+        x = _upsample2x_align_corners_axis(x, -2)
+        return _upsample2x_align_corners_axis(x, -1)
     md = _interp_matrix(x.dtype, d, out_d)
     mh = _interp_matrix(x.dtype, h, out_h)
     mw = _interp_matrix(x.dtype, w, out_w)

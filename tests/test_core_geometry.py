@@ -181,6 +181,34 @@ def test_resize_trilinear_matches_torch():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_upsample2x_stencil_matches_einsum_path():
+    """The exact-2x stencil fast path must agree with the dense-matrix path.
+
+    The stencil replicates _interp_matrix's f32 pos/lo/frac arithmetic, so
+    agreement is at roundoff (the two paths differ only in add order with
+    one exactly-zero term).  Covers odd and even sizes, both resize entry
+    points, and the trilinear H/W-double + D-change combination.
+    """
+    from mvster_tpu.core.sampling import _interp_matrix
+
+    rng = np.random.default_rng(7)
+    for h, w in [(5, 8), (6, 9), (1, 4), (16, 20)]:
+        x = rng.normal(size=(2, h, w, 3)).astype(np.float32)
+        fast = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 2 * h, 2 * w))
+        mh = np.asarray(_interp_matrix(jnp.float32, h, 2 * h))
+        mw = np.asarray(_interp_matrix(jnp.float32, w, 2 * w))
+        dense = np.einsum("bhwc,Hh,Ww->bHWc", x, mh, mw)
+        np.testing.assert_allclose(fast, dense, rtol=1e-6, atol=1e-6)
+
+    x = rng.normal(size=(2, 8, 6, 9)).astype(np.float32)
+    fast = np.asarray(resize_trilinear_align_corners(jnp.asarray(x), 4, 12, 18))
+    md = np.asarray(_interp_matrix(jnp.float32, 8, 4))
+    mh = np.asarray(_interp_matrix(jnp.float32, 6, 12))
+    mw = np.asarray(_interp_matrix(jnp.float32, 9, 18))
+    dense = np.einsum("bdhw,Dd,Hh,Ww->bDHW", x, md, mh, mw)
+    np.testing.assert_allclose(fast, dense, rtol=1e-6, atol=1e-6)
+
+
 def test_upsample_nearest_and_maxpool_match_torch():
     rng = np.random.default_rng(6)
     x = rng.normal(size=(2, 6, 8, 3)).astype(np.float32)
