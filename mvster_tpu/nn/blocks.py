@@ -20,14 +20,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mvster_tpu.nn.s2d import (
-    S2DConv,
-    S2DConv133,
-    S2DConv333,
-    convT3x3s2_s2d,
-    use_s2d,
-)
-
 # Norms always compute in f32 (bf16 running statistics drift); convs take the
 # configured compute dtype so the MXU runs bf16 when asked.
 
@@ -46,25 +38,16 @@ class ConvBlock2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.kernel_size == 3 and self.stride == 1 and self.padding == 1:
-            # routes through the weight-equivalent space-to-depth form at
-            # low-channel megapixel shapes (s2d.use_s2d); param tree is
-            # identical to nn.Conv
-            x = S2DConv(
-                self.out_channels, use_bias=self.gn, dtype=self.dtype,
-                name="conv",
-            )(x)
-        else:
-            pad = ((self.padding, self.padding), (self.padding, self.padding))
-            x = nn.Conv(
-                self.out_channels,
-                (self.kernel_size, self.kernel_size),
-                strides=(self.stride, self.stride),
-                padding=pad,
-                use_bias=self.gn,
-                dtype=self.dtype,
-                name="conv",
-            )(x)
+        pad = ((self.padding, self.padding), (self.padding, self.padding))
+        x = nn.Conv(
+            self.out_channels,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            use_bias=self.gn,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
         if self.gn:
             groups = int(max(1, self.out_channels / self.group_channel))
             x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="gn")(x)
@@ -108,27 +91,15 @@ class ConvBnReLU3D(nn.Module):
         k = _to_tuple3(self.kernel_size)
         s = _to_tuple3(self.stride)
         p = _to_tuple3(self.pad)
-        if k == (1, 3, 3) and s == (1, 1, 1) and p == (0, 1, 1):
-            # s2d-routed at low-channel megapixel shapes (see nn/s2d.py)
-            x = S2DConv133(
-                self.out_channels, dtype=self.dtype, name="conv"
-            )(x)
-        elif k == (3, 3, 3) and s == (1, 1, 1) and p == (1, 1, 1):
-            # depth-tap-decomposed s2d for the full-3D aggregation convs
-            # (reg2d's conv2/conv4 at large stages); identical param tree
-            x = S2DConv333(
-                self.out_channels, dtype=self.dtype, name="conv"
-            )(x)
-        else:
-            x = nn.Conv(
-                self.out_channels,
-                k,
-                strides=s,
-                padding=tuple((pi, pi) for pi in p),
-                use_bias=False,
-                dtype=self.dtype,
-                name="conv",
-            )(x)
+        x = nn.Conv(
+            self.out_channels,
+            k,
+            strides=s,
+            padding=tuple((pi, pi) for pi in p),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
         return nn.relu(_bn3d(train)(x))
 
 
@@ -288,20 +259,6 @@ class ConvTransposeBnReLU3d(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             k + (in_ch, self.out_channels),
         )
-        b, dd, hin, win_, _ = x.shape
-        if (
-            k == (1, 3, 3) and s == (1, 2, 2)
-            and use_s2d(2 * hin, 2 * win_, self.out_channels)
-        ):
-            # depth-to-space rewrite: compute at the INPUT resolution with
-            # 4x output channels instead of XLA's input-dilated conv at
-            # the output resolution with the raw lane count (nn/s2d.py)
-            y = convT3x3s2_s2d(
-                x.reshape(b * dd, hin, win_, in_ch),
-                kernel[0].astype(x.dtype),
-            )
-            x = y.reshape(b, dd, 2 * hin, 2 * win_, self.out_channels)
-            return nn.relu(_bn3d(train)(x))
         pad = []
         for ki, si in zip(k, s):
             if si == 1:

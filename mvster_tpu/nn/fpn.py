@@ -23,7 +23,6 @@ from mvster_tpu.core.sampling import (
 )
 from mvster_tpu.nn.blocks import ConvBlock2d
 from mvster_tpu.nn.dcn import DeformConvBlock
-from mvster_tpu.nn.s2d import S2DConv
 
 
 class FPN4(nn.Module):
@@ -74,15 +73,18 @@ class FPN4(nn.Module):
 
         intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, dtype=dtype,
                                     name="inner1")(conv2)
-        out2 = S2DConv(4 * b, use_bias=False, dtype=dtype, name="out2")(intra)
+        out2 = nn.Conv(4 * b, (3, 3), padding=1, use_bias=False, dtype=dtype,
+                       name="out2")(intra)
 
         intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, dtype=dtype,
                                     name="inner2")(conv1)
-        out3 = S2DConv(2 * b, use_bias=False, dtype=dtype, name="out3")(intra)
+        out3 = nn.Conv(2 * b, (3, 3), padding=1, use_bias=False, dtype=dtype,
+                       name="out3")(intra)
 
         intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, dtype=dtype,
                                     name="inner3")(conv0)
-        out4 = S2DConv(b, use_bias=False, dtype=dtype, name="out4")(intra)
+        out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False, dtype=dtype,
+                       name="out4")(intra)
 
         if self.dcn:
             out1 = DeformConvBlock(8 * b, gn=gn, name="dcn1")(out1, train)
@@ -177,11 +179,11 @@ class _FPNConvNeXtBase(nn.Module):
             return resize_bilinear_align_corners(feat, h, w)
 
         intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner1")(conv2)
-        out2 = S2DConv(4 * b, use_bias=False, name="out2")(intra)
+        out2 = nn.Conv(4 * b, (3, 3), padding=1, use_bias=False, name="out2")(intra)
         intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner2")(conv1)
-        out3 = S2DConv(2 * b, use_bias=False, name="out3")(intra)
+        out3 = nn.Conv(2 * b, (3, 3), padding=1, use_bias=False, name="out3")(intra)
         intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner3")(conv0)
-        out4 = S2DConv(b, use_bias=False, name="out4")(intra)
+        out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False, name="out4")(intra)
 
         if self.dcn:
             out1 = DeformConvBlock(8 * b, gn=self.gn, name="dcn1")(out1, train)

@@ -122,8 +122,8 @@ def main():
 
         total += bench(name, f, x)
 
-    # out heads (the S2DConv path routes to a plain conv with s2d
-    # default-off; time the plain conv = production)
+    # out heads (plain 3x3 convs; the s2d rewrite was deleted in round 4
+    # after the in-model A/B verdict — BENCHNOTES.md)
     outs = [
         ("out2 3x3 64->32 @/4", h // 4, w // 4, final, 4 * b),
         ("out3 3x3 64->16 @/2", h // 2, w // 2, final, 2 * b),
