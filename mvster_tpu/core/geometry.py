@@ -73,6 +73,19 @@ def compose_projection(proj_pair: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, extr[..., 3:4, :]], axis=-2)
 
 
+def plane_sweep_rt(
+    src_proj: jnp.ndarray, ref_proj: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Relative projection of the plane sweep: rot (B, 3, 3), trans (B, 3).
+
+    The source-view coordinate of reference pixel (px, py) at depth d is
+    ((rot @ (px, py, 1)) * d + trans) projected by its z — the shared core
+    of plane_sweep_coords and the kernel-layout coordinate emission
+    (kernels/pallas_warp._packed_plane_sweep)."""
+    proj = jnp.matmul(src_proj, inverse_affine_4x4(ref_proj), precision=_HI)
+    return proj[:, :3, :3], proj[:, :3, 3]
+
+
 def plane_sweep_coords(
     src_proj: jnp.ndarray,
     ref_proj: jnp.ndarray,
@@ -93,9 +106,7 @@ def plane_sweep_coords(
       reference (mvs4net_utils.py:38-40).
     """
     b, d, h, w = depth_values.shape
-    proj = jnp.matmul(src_proj, inverse_affine_4x4(ref_proj), precision=_HI)
-    rot = proj[:, :3, :3]  # (B, 3, 3)
-    trans = proj[:, :3, 3]  # (B, 3)
+    rot, trans = plane_sweep_rt(src_proj, ref_proj)
 
     ys = jnp.arange(h, dtype=depth_values.dtype)
     xs = jnp.arange(w, dtype=depth_values.dtype)

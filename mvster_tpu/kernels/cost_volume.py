@@ -117,6 +117,7 @@ def build_cost_volume(
     impl: str = "xla",
     with_fallbacks: bool = False,
     force_rp: int | None = None,
+    pallas_coords: str = "unpacked",
 ):
     """Fused multi-view cost volume with online cross-view normalization.
 
@@ -140,6 +141,14 @@ def build_cost_volume(
         measurement-only knob for the rp sweeps that place _row_pack's
         thresholds (scripts/bench_components.py --rp-sweep); production
         callers leave it None.
+      pallas_coords: "packed" emits plane-sweep coords directly in the
+        kernel lane layout from the stage geometry
+        (warp_correlate_pallas_geom — drops the per-view coordinate build,
+        both lane-packing transposes, and the unconditional second layout
+        variant's metadata pass); "unpacked" (default until the on-chip
+        A/B in scripts/probe_cv_glue.py blesses the flip — the round-3
+        lesson: unmeasured rewrites stay behind flags) is the legacy x/y
+        entry.
 
     Returns:
       (B, D, H, W, G or C) attention-fused correlation volume
@@ -163,14 +172,29 @@ def build_cost_volume(
     feats_sum = jnp.asarray(0.0, jnp.float32)
     for v in range(num_views):
         if use_pallas:
-            from mvster_tpu.core.geometry import plane_sweep_coords
-            from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas
+            if pallas_coords == "packed":
+                from mvster_tpu.kernels.pallas_warp import (
+                    warp_correlate_pallas_geom,
+                )
 
-            x, y = plane_sweep_coords(src_projs[v], ref_proj, depth_hypo)
-            cor, pred = warp_correlate_pallas(
-                src_feats[v], ref_feat, x, y, group_dim, return_pred=True,
-                force_rp=force_rp,
-            )
+                cor, pred = warp_correlate_pallas_geom(
+                    src_feats[v], ref_feat, src_projs[v], ref_proj,
+                    depth_hypo, group_dim, return_pred=True,
+                    force_rp=force_rp,
+                )
+            else:
+                from mvster_tpu.core.geometry import plane_sweep_coords
+                from mvster_tpu.kernels.pallas_warp import (
+                    warp_correlate_pallas,
+                )
+
+                x, y = plane_sweep_coords(
+                    src_projs[v], ref_proj, depth_hypo
+                )
+                cor, pred = warp_correlate_pallas(
+                    src_feats[v], ref_feat, x, y, group_dim,
+                    return_pred=True, force_rp=force_rp,
+                )
             fallbacks = fallbacks + (1 - pred.astype(jnp.int32))
         else:
             warped = warp_src_feature(

@@ -438,6 +438,34 @@ def warp_correlate_pallas(
     return (out, pred) if return_pred else out
 
 
+def warp_correlate_pallas_geom(
+    src_feat: jnp.ndarray,   # (B, H, W, C)
+    ref_feat: jnp.ndarray,   # (B, H, W, C)
+    src_proj: jnp.ndarray,   # (B, 4, 4) composed source projection
+    ref_proj: jnp.ndarray,   # (B, 4, 4) composed reference projection
+    depth_hypo: jnp.ndarray,  # (B, D, H, W) per-pixel hypotheses
+    group_dim: int,
+    *,
+    interpret: bool = False,
+    return_pred: bool = False,
+    force_rp: int | None = None,
+):
+    """warp_correlate_pallas taking the GEOMETRY instead of precomputed
+    coordinate grids: plane-sweep coords are emitted directly in the
+    kernel lane layout (one fused elementwise pass over the packed
+    per-pixel hypotheses, shared-transposed once), and window metadata
+    reduces contiguous lanes — removing the per-view coordinate build +
+    two pack_lanes transposes + the unconditional second variant's
+    metadata pass of the x/y entry (the round-4 cost-volume glue attack;
+    BENCHNOTES.md).  Numerics: same taps/weights as the x/y entry up to
+    f32 reassociation of the (rot @ pixel) dot products (<= 1e-4 px)."""
+    out, pred = _warp_impl_geom(
+        src_feat, ref_feat, src_proj, ref_proj, depth_hypo, group_dim,
+        True, interpret, force_rp=force_rp,
+    )
+    return (out, pred) if return_pred else out
+
+
 def warp_pallas(
     src_feat: jnp.ndarray,   # (B, H, W, C)
     x: jnp.ndarray,          # (B, D, H, W) source pixel coords
@@ -490,6 +518,33 @@ def _coord_windows(c: int, x, y, rp: int | None = None):
     wide, D=8).
     """
     b, d, h, w = x.shape
+    L = _layout(c, d, h, w, rp)
+    wo = L["wo"]
+    if wo != w:
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
+        y = jnp.pad(y, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
+
+    if L["pack"]:
+        hp, rp, nwj, pc = L["hp"], L["rp"], L["knxb"], L["pc"]
+
+        def pack_lanes(v):  # (B, D, H, WO) -> (B, 1, HP, NWJ*LANE)
+            return jnp.transpose(
+                v.reshape(b, d, hp, rp, nwj, pc), (0, 2, 4, 3, 1, 5)
+            ).reshape(b, 1, hp, nwj * LANE)
+    else:
+        def pack_lanes(v):  # already edge-padded to wo == wc above
+            return v
+
+    meta_row, shift, pred = window_meta(
+        x, y, h, w, L["b2"], L["winb"], L["nk"], L["wp"], rp=L["rp"],
+        pc=L["pc"], share_d=L["pack"],
+    )
+    layout = dict(L, x=x, y=y, pack_lanes=pack_lanes)
+    return meta_row, shift, pred, layout
+
+
+def _layout(c: int, d: int, h: int, w: int, rp: int | None = None) -> dict:
+    """Static tile geometry for one kernel layout variant (no coords)."""
     nxb = -(-w // LANE)
     wc = nxb * LANE
     wp = wc + 2 * PADX
@@ -507,9 +562,6 @@ def _coord_windows(c: int, x, y, rp: int | None = None):
     nb = h // b2
     pc = LANE // (rp * d) if pack else LANE
     wo = -(-w // pc) * pc if pack else wc  # padded OUTPUT width
-    if wo != w:
-        x = jnp.pad(x, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
-        y = jnp.pad(y, ((0, 0),) * 3 + ((0, wo - w),), mode="edge")
 
     cp = -(-c // 8) * 8
     # _window_bands caps at the padded buffer height (nb + 2 bands): a
@@ -520,31 +572,71 @@ def _coord_windows(c: int, x, y, rp: int | None = None):
     nk = min(_nk(cp), wp // LANE)
     nvr = b2 // rp    # vreg-rows per band
     hp = h // rp      # packed height
-
     if pack:
-        nwj = (wo * d * rp) // LANE  # output vregs per packed row
-
-        def pack_lanes(v):  # (B, D, H, WO) -> (B, 1, HP, NWJ*LANE)
-            return jnp.transpose(
-                v.reshape(b, d, hp, rp, nwj, pc), (0, 2, 4, 3, 1, 5)
-            ).reshape(b, 1, hp, nwj * LANE)
-
-        kd, knxb = 1, nwj
+        kd, knxb = 1, (wo * d * rp) // LANE  # output vregs per packed row
     else:
-        def pack_lanes(v):  # already edge-padded to wo == wc above
-            return v
-
         kd, knxb = d, nxb
-
-    meta_row, shift, pred = window_meta(
-        x, y, h, w, b2, winb, nk, wp, rp=rp, pc=pc, share_d=pack
-    )
-    layout = dict(
-        b2=b2, nb=nb, nxb=nxb, wc=wc, wp=wp, pack=pack, pc=pc, wo=wo,
+    return dict(
+        d=d, b2=b2, nb=nb, nxb=nxb, wc=wc, wp=wp, pack=pack, pc=pc, wo=wo,
         cp=cp, winb=winb, nk=nk, kd=kd, knxb=knxb, rp=rp, nvr=nvr, hp=hp,
-        x=x, y=y, pack_lanes=pack_lanes,
     )
-    return meta_row, shift, pred, layout
+
+
+def _pack_depth(depth_hypo: jnp.ndarray, L: dict) -> jnp.ndarray:
+    """(B, D, H, W) per-pixel hypotheses -> packed (B, 1, HP, NWJ*LANE)
+    in the kernel lane layout (rp rows x d depths x pc cols per vreg),
+    edge-padded to the layout's output width.  One cheap transpose of the
+    D-sized hypothesis instead of two full (B, D, H, W) coordinate-tensor
+    transposes per view — and shareable across all source views."""
+    b, d, h, w = depth_hypo.shape
+    wo, hp, rp, nwj, pc = L["wo"], L["hp"], L["rp"], L["knxb"], L["pc"]
+    if wo != w:
+        depth_hypo = jnp.pad(
+            depth_hypo, ((0, 0),) * 3 + ((0, wo - w),), mode="edge"
+        )
+    return jnp.transpose(
+        depth_hypo.reshape(b, d, hp, rp, nwj, pc), (0, 2, 4, 3, 1, 5)
+    ).reshape(b, 1, hp, nwj * LANE)
+
+
+def _packed_plane_sweep(rot, trans, dpk, L, w_real):
+    """Plane-sweep coords emitted DIRECTLY in the packed kernel lane
+    layout: x, y each (B, 1, HP, NWJ*LANE) matching `_pack_depth`'s dpk.
+
+    The source coordinate of reference pixel (px, py) at depth d is
+    ((rot @ (px, py, 1)) * d + trans) / z (core.geometry.plane_sweep_rt).
+    The pixel position for every packed lane is decoded from iotas, so
+    the whole computation is one fused elementwise pass writing the
+    coords already in kernel order — replacing (per view) the unpacked
+    (B, D, H, W) coordinate build AND the two pack_lanes transposes
+    (~700 MB of HBM round-trips at raw stage4)."""
+    b = dpk.shape[0]
+    rp, d, pc = L["rp"], L["d"], L["pc"]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dpk.shape, 3)
+    rowp = jax.lax.broadcasted_iota(jnp.int32, dpk.shape, 2)
+    c_i = lane % pc
+    rp_i = (lane // (pc * d)) % rp
+    jw = lane // (pc * d * rp)
+    # edge clamp mirrors the mode="edge" output-width pad of the coords
+    col = jnp.minimum(jw * pc + c_i, w_real - 1)
+    px = col.astype(jnp.float32)
+    py = (rowp * rp + rp_i).astype(jnp.float32)
+
+    def a(i):
+        return (
+            rot[:, i, 0].reshape(b, 1, 1, 1) * px
+            + rot[:, i, 1].reshape(b, 1, 1, 1) * py
+            + rot[:, i, 2].reshape(b, 1, 1, 1)
+        )
+
+    def t(i):
+        return trans[:, i].reshape(b, 1, 1, 1)
+
+    z = a(2) * dpk + t(2)
+    z = jnp.where(z == 0.0, jnp.asarray(1e-9, z.dtype), z)
+    x = (a(0) * dpk + t(0)) / z
+    y = (a(1) * dpk + t(1)) / z
+    return x, y
 
 
 def _variant_rps(d: int, h: int) -> list:
@@ -569,6 +661,124 @@ def warp_predicate(channels: int, x, y) -> jnp.ndarray:
     return functools.reduce(jnp.logical_or, preds)
 
 
+def _run_kernel(src_feat, ref_feat, xc, yc, meta_row, shift, L, group_dim,
+                sub, fuse_cor, interpret, h, w):
+    """Pack features, invoke the Pallas kernel, unpack the output — the
+    shared tail of both coordinate entries (`_warp_impl`'s legacy x/y path
+    and `_warp_impl_geom`'s packed-emission path).  xc/yc are coords
+    ALREADY in this layout's kernel lane order."""
+    b, _, _, c = src_feat.shape
+    d = L["d"]
+    b2, wp, wo, pack, pc = L["b2"], L["wp"], L["wo"], L["pack"], L["pc"]
+    nb, winb, nk = L["nb"], L["winb"], L["nk"]
+    kd, knxb, cp = L["kd"], L["knxb"], L["cp"]
+    rp, nvr, hp = L["rp"], L["nvr"], L["hp"]
+    # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
+    # tile-padded (last two dims to (8,128)) and overflow SMEM at raw
+    meta_flat = meta_row.reshape(-1)
+    shift_flat = shift.reshape(-1)
+
+    src_p = _pad_feature(src_feat, b2, wp)
+    assert src_p.shape[2] == cp
+    if pack:
+        nwj = knxb
+        nwc = wo // pc  # column groups per row
+        rf = ref_feat
+        if wo != w:
+            rf = jnp.pad(rf, ((0, 0), (0, 0), (0, wo - w), (0, 0)))
+        # ref in the packed lane order (rp rows, d depths, pc cols): the
+        # fused correlation multiplies warped and ref lane-wise
+        ref_lanes = jnp.broadcast_to(
+            jnp.transpose(
+                rf.reshape(b, hp, rp, nwc, pc, c), (0, 1, 3, 2, 4, 5)
+            ).reshape(b, hp, nwc, rp, 1, pc, c),
+            (b, hp, nwc, rp, d, pc, c),
+        ).reshape(b, hp, nwj * LANE, c)
+        ref_p = _pad_feature(ref_lanes, nvr, nwj * LANE + 2 * PADX)
+    else:
+        nwc = 0
+        ref_p = _pad_feature(ref_feat, b2, wp)
+    out = _pallas_call(
+        meta_flat, shift_flat, src_p, ref_p, xc, yc,
+        b2=b2, winb=winb, nk=nk, d=kd, group_dim=group_dim,
+        sub=sub, h=h, w=w, nb=nb, nxb=knxb, nvr=nvr, hp=hp, cp=cp,
+        wp=wp, interpret=interpret, fuse_cor=fuse_cor,
+    )
+    if fuse_cor:  # (B, KD, G, HP, KNXB*LANE)
+        if pack:
+            return jnp.transpose(
+                out.reshape(b, group_dim, hp, nwc, rp, d, pc),
+                (0, 5, 2, 4, 3, 6, 1),
+            ).reshape(b, d, h, wo, group_dim)[:, :, :, :w]
+        return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
+    # warp-only: (B, KD, HP, CP, KNXB*LANE)
+    if pack:
+        return jnp.transpose(
+            out.reshape(b, hp, cp, nwc, rp, d, pc),
+            (0, 5, 1, 4, 3, 6, 2),
+        ).reshape(b, d, h, wo, cp)[:, :, :, :w, :c]
+    return jnp.transpose(out[..., :w], (0, 1, 2, 4, 3))[..., :c]
+
+
+def _warp_impl_geom(src_feat, ref_feat, src_proj, ref_proj, depth_hypo,
+                    group_dim, fuse_cor, interpret, force_rp=None):
+    """Geometry-direct variant chain: coords are emitted per layout
+    variant DIRECTLY in the kernel lane order (`_packed_plane_sweep`) and
+    the window metadata reduces contiguous lanes (`window_meta_packed`).
+    vs the legacy x/y entry this removes, per view: the unpacked
+    (B, D, H, W) coordinate build, both pack_lanes transposes, and —
+    because each later variant lives inside the previous variant's
+    fallback cond — the unconditional second window_meta pass.  The
+    terminal fallback computes the unpacked XLA path inside its own
+    branch.  Returns (out, ran_on_kernel)."""
+    from mvster_tpu.core.geometry import plane_sweep_coords, plane_sweep_rt
+
+    b, hs, ws, c = src_feat.shape
+    _, d, h, w = depth_hypo.shape
+    assert (hs, ws) == (h, w), "pallas warp expects matching view resolutions"
+    assert c % group_dim == 0
+    sub = c // group_dim
+
+    rps = [force_rp] if force_rp is not None else _variant_rps(d, h)
+    layouts = [_layout(c, d, h, w, rp) for rp in rps]
+    if not all(L["pack"] for L in layouts):
+        # unpacked lane layout (d == 1): the packed emission does not
+        # apply; route through the legacy coordinate entry
+        x, y = plane_sweep_coords(src_proj, ref_proj, depth_hypo)
+        return _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor,
+                          interpret, force_rp=force_rp)
+
+    rot, trans = plane_sweep_rt(src_proj, ref_proj)
+
+    def xla_tail(_):
+        from mvster_tpu.core.sampling import grid_sample_zeros
+        from mvster_tpu.kernels.cost_volume import correlate
+
+        x, y = plane_sweep_coords(src_proj, ref_proj, depth_hypo)
+        warped = grid_sample_zeros(src_feat, x, y)
+        out = correlate(warped, ref_feat, True, group_dim) if fuse_cor \
+            else warped
+        return out, jnp.zeros((), bool)
+
+    def run(i):
+        L = layouts[i]
+        dpk = _pack_depth(depth_hypo, L)
+        xk, yk = _packed_plane_sweep(rot, trans, dpk, L, w)
+        meta_row, shift, pred = window_meta_packed(xk, yk, L, h, w)
+
+        def hit(_):
+            out = _run_kernel(
+                src_feat, ref_feat, xk, yk, meta_row, shift, L,
+                group_dim, sub, fuse_cor, interpret, h, w,
+            )
+            return out, jnp.ones((), bool)
+
+        nxt = (lambda _: run(i + 1)) if i + 1 < len(layouts) else xla_tail
+        return jax.lax.cond(pred, hit, nxt, operand=None)
+
+    return run(0)
+
+
 def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret,
                force_rp=None):
     b, hs, ws, c = src_feat.shape
@@ -584,58 +794,13 @@ def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret,
         unselected variant costs nothing at runtime — XLA's conditional
         executes only the taken branch."""
         x, y, pack_lanes = L["x"], L["y"], L["pack_lanes"]
-        b2, wp, wo, pack, pc = L["b2"], L["wp"], L["wo"], L["pack"], L["pc"]
-        nb, winb, nk = L["nb"], L["winb"], L["nk"]
-        kd, knxb, cp = L["kd"], L["knxb"], L["cp"]
-        rp, nvr, hp = L["rp"], L["nvr"], L["hp"]
-        # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
-        # tile-padded (last two dims to (8,128)) and overflow SMEM at raw
-        meta_flat = meta_row.reshape(-1)
-        shift_flat = shift.reshape(-1)
 
         def kernel_path(_):
-            src_p = _pad_feature(src_feat, b2, wp)
-            assert src_p.shape[2] == cp
-            if pack:
-                nwj = knxb
-                nwc = wo // pc  # column groups per row
-                rf = ref_feat
-                if wo != w:
-                    rf = jnp.pad(rf, ((0, 0), (0, 0), (0, wo - w), (0, 0)))
-                # ref in the packed lane order (rp rows, d depths, pc
-                # cols): the fused correlation multiplies warped and ref
-                # lane-wise
-                ref_lanes = jnp.broadcast_to(
-                    jnp.transpose(
-                        rf.reshape(b, hp, rp, nwc, pc, c), (0, 1, 3, 2, 4, 5)
-                    ).reshape(b, hp, nwc, rp, 1, pc, c),
-                    (b, hp, nwc, rp, d, pc, c),
-                ).reshape(b, hp, nwj * LANE, c)
-                ref_p = _pad_feature(ref_lanes, nvr, nwj * LANE + 2 * PADX)
-            else:
-                nwc = 0
-                ref_p = _pad_feature(ref_feat, b2, wp)
-            xc, yc = pack_lanes(x), pack_lanes(y)
-            out = _pallas_call(
-                meta_flat, shift_flat, src_p, ref_p, xc, yc,
-                b2=b2, winb=winb, nk=nk, d=kd, group_dim=group_dim,
-                sub=sub, h=h, w=w, nb=nb, nxb=knxb, nvr=nvr, hp=hp, cp=cp,
-                wp=wp, interpret=interpret, fuse_cor=fuse_cor,
+            return _run_kernel(
+                src_feat, ref_feat, pack_lanes(x), pack_lanes(y),
+                meta_row, shift, L, group_dim, sub, fuse_cor, interpret,
+                h, w,
             )
-            if fuse_cor:  # (B, KD, G, HP, KNXB*LANE)
-                if pack:
-                    return jnp.transpose(
-                        out.reshape(b, group_dim, hp, nwc, rp, d, pc),
-                        (0, 5, 2, 4, 3, 6, 1),
-                    ).reshape(b, d, h, wo, group_dim)[:, :, :, :w]
-                return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
-            # warp-only: (B, KD, HP, CP, KNXB*LANE)
-            if pack:
-                return jnp.transpose(
-                    out.reshape(b, hp, cp, nwc, rp, d, pc),
-                    (0, 5, 1, 4, 3, 6, 2),
-                ).reshape(b, d, h, wo, cp)[:, :, :, :w, :c]
-            return jnp.transpose(out[..., :w], (0, 1, 2, 4, 3))[..., :c]
 
         return kernel_path
 
@@ -692,8 +857,6 @@ def window_meta(x, y, h, w, b2, winb, nk, wp_src, rp=1, pc=LANE,
     nb = h // b2
     nvr_b = b2 // rp
     nw = wo // pc
-    kd = 1 if share_d else d
-    wp = wp_src
 
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
@@ -718,6 +881,54 @@ def window_meta(x, y, h, w, b2, winb, nk, wp_src, rp=1, pc=LANE,
         xmin_r, xmax_r = xmin_r[:, None], xmax_r[:, None]
         rel_r = rel_r[:, None]
 
+    return _meta_from_extents(
+        ymin_r, ymax_r, xmin_r, xmax_r, rel_r,
+        h=h, b2=b2, winb=winb, nk=nk, wp=wp_src, nb=nb,
+    )
+
+
+def window_meta_packed(x, y, L, h, w):
+    """window_meta for coords ALREADY in the packed kernel lane layout
+    ((B, 1, HP, NWJ*LANE), lane order (nwj | rp, d, pc) — the layout
+    `_packed_plane_sweep` emits).  The per-vreg extents become one
+    contiguous 128-lane reduction per vreg instead of window_meta's
+    strided gathers over the unpacked (B, D, H, W) tensor — the whole
+    point of emitting coords in kernel layout."""
+    b = x.shape[0]
+    nb, nvr, nwj = L["nb"], L["nvr"], L["knxb"]
+    rp, d, pc = L["rp"], L["d"], L["pc"]
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    rel = (x > -1) & (x < w) & (y > -1) & (y < h)
+
+    def blockify(v):  # -> (B, NB, NVR, NWJ, 128): vreg lanes contiguous
+        return v.reshape(b, nb, nvr, nwj, rp * d * pc)
+
+    inf = jnp.float32(jnp.inf)
+    rel_b = blockify(rel)
+    y0_b = blockify(y0f)
+    x0_b = blockify(x0f)
+    ymin_r = jnp.min(jnp.where(rel_b, y0_b, inf), axis=-1)
+    ymax_r = jnp.max(jnp.where(rel_b, y0_b, -inf), axis=-1)
+    xmin_r = jnp.min(jnp.where(rel_b, x0_b, inf), axis=-1)
+    xmax_r = jnp.max(jnp.where(rel_b, x0_b + 1, -inf), axis=-1)
+    rel_r = jnp.any(rel_b, axis=-1)
+
+    def kdim(v):  # (B, NB, NVR, NWJ) -> (B, KD=1, NB, NVR, NWJ)
+        return v[:, None]
+
+    return _meta_from_extents(
+        kdim(ymin_r), kdim(ymax_r), kdim(xmin_r), kdim(xmax_r), kdim(rel_r),
+        h=h, b2=L["b2"], winb=L["winb"], nk=L["nk"], wp=L["wp"], nb=nb,
+    )
+
+
+def _meta_from_extents(ymin_r, ymax_r, xmin_r, xmax_r, rel_r, *, h, b2,
+                       winb, nk, wp, nb):
+    """Shared meta/shift/predicate backend over per-vreg extents
+    ((B, KD, NB, NVR, NW) each) — see window_meta for field semantics."""
+    inf = jnp.float32(jnp.inf)
     # per-band window shift: the kernel addresses scan rows absolutely
     # within the window (row_scr = pb + rs, no output-row offset), so the
     # optimal window top is the band's absolute MIN source row — a

@@ -217,3 +217,121 @@ def test_pallas_warp_adaptive_chain_uses_fallback_variant(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
     )
+
+
+def test_packed_plane_sweep_matches_coords():
+    """Coords emitted directly in kernel lane layout must equal
+    plane_sweep_coords + pack_lanes (the legacy entry's operands) to f32
+    reassociation (the (rot @ pixel) dot products associate differently)."""
+    from mvster_tpu.core.geometry import plane_sweep_rt
+    from mvster_tpu.kernels.pallas_warp import (
+        _layout,
+        _pack_depth,
+        _packed_plane_sweep,
+    )
+
+    sample = plane_scene_sample(4)
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+    x, y = plane_sweep_coords(composed[:, 1], composed[:, 0], hypo)
+
+    L = _layout(3, 4, 64, 64, rp=2)
+    assert L["pack"]
+    rot, trans = plane_sweep_rt(composed[:, 1], composed[:, 0])
+    dpk = _pack_depth(hypo, L)
+    xk, yk = _packed_plane_sweep(rot, trans, dpk, L, 64)
+    # _pack_depth applies the same edge pad + lane transpose to any
+    # (B, D, H, W) tensor, so it converts the reference coords too
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(_pack_depth(x, L)),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(_pack_depth(y, L)),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_build_cost_volume_packed_coords_matches():
+    """build_cost_volume(pallas_coords='packed') — the geometry-direct
+    entry — must match the XLA formulation end-to-end (interpret mode).
+    Tolerance is one decade looser than the x/y-entry test: the packed
+    emission reassociates the coordinate dot products (<= 1e-4 px), which
+    shifts bilinear weights by the same order."""
+    from mvster_tpu.kernels.cost_volume import build_cost_volume
+
+    sample = plane_scene_sample(1)
+    imgs = jnp.asarray(sample["imgs"])
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+    args = (
+        imgs[:, 0], [imgs[:, 1], imgs[:, 2]],
+        composed[:, 0], [composed[:, 1], composed[:, 2]], hypo,
+    )
+    kw = dict(group_cor=True, group_dim=3, attn_temp=2.0)
+    ref_out = build_cost_volume(*args, **kw, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        pls_out, fb = build_cost_volume(
+            *args, **kw, impl="pallas", pallas_coords="packed",
+            with_fallbacks=True,
+        )
+    assert int(fb) == 0, "packed-coords path unexpectedly fell back"
+    np.testing.assert_allclose(
+        np.asarray(pls_out), np.asarray(ref_out), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("rp", [1, 2])
+def test_geom_entry_rowpacked_layouts(rp):
+    """The geometry-direct entry across forced rp layout variants."""
+    from mvster_tpu.core.sampling import grid_sample_zeros
+    from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas_geom
+
+    sample = plane_scene_sample(3)
+    imgs = jnp.asarray(sample["imgs"])
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+    ref, src = imgs[:, 0], imgs[:, 1]
+    x, y = plane_sweep_coords(composed[:, 1], composed[:, 0], hypo)
+    cor_xla = correlate(grid_sample_zeros(src, x, y), ref, True, 3)
+
+    with pltpu.force_tpu_interpret_mode():
+        got, pred = warp_correlate_pallas_geom(
+            src, ref, composed[:, 1], composed[:, 0], hypo, 3,
+            return_pred=True, force_rp=rp,
+        )
+    assert bool(pred), "geom entry unexpectedly fell back to XLA"
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(cor_xla), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_geom_entry_xla_tail(monkeypatch):
+    """When every packed layout's predicate fails, the geom entry's
+    terminal branch computes the unpacked XLA path (flag False; numerics
+    match the eager XLA reference to FMA-fusion noise — the branch body
+    compiles under lax.cond, which fuses a*d+t differently)."""
+    from mvster_tpu.core.sampling import grid_sample_zeros
+    from mvster_tpu.kernels import pallas_warp
+    from mvster_tpu.kernels.pallas_warp import warp_correlate_pallas_geom
+
+    orig = pallas_warp.window_meta_packed
+
+    def veto(*a, **k):
+        meta, shift, _ = orig(*a, **k)
+        return meta, shift, jnp.zeros((), bool)
+
+    monkeypatch.setattr(pallas_warp, "window_meta_packed", veto)
+    sample = plane_scene_sample(6)
+    imgs = jnp.asarray(sample["imgs"])
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+    ref, src = imgs[:, 0], imgs[:, 1]
+    x, y = plane_sweep_coords(composed[:, 1], composed[:, 0], hypo)
+    cor_xla = correlate(grid_sample_zeros(src, x, y), ref, True, 3)
+
+    with pltpu.force_tpu_interpret_mode():
+        got, pred = warp_correlate_pallas_geom(
+            src, ref, composed[:, 1], composed[:, 0], hypo, 3,
+            return_pred=True,
+        )
+    assert not bool(pred)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(cor_xla), rtol=1e-4, atol=1e-4
+    )
