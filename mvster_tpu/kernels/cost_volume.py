@@ -168,6 +168,23 @@ def build_cost_volume(
     fallbacks = jnp.asarray(
         0 if use_pallas or not want_pallas else num_views, jnp.int32
     )
+    if use_pallas and pallas_coords == "packed":
+        from mvster_tpu.kernels.pallas_warp import (
+            _layout,
+            fused_cost_volume_geom,
+        )
+
+        d = depth_hypo.shape[1]
+        if _layout(c, d, ref_feat.shape[1], ref_feat.shape[2],
+                   force_rp)["pack"]:
+            # whole-stage fused path: hypotheses/reference packed once,
+            # per-view attention fusion in packed lane space, one unpack
+            out, fallbacks = fused_cost_volume_geom(
+                ref_feat, src_feats, ref_proj, src_projs, depth_hypo,
+                group_dim, attn_temp, attn_fuse_d, force_rp=force_rp,
+            )
+            return (out, fallbacks) if with_fallbacks else out
+        # unpacked lane layout (d == 1): per-view legacy loop below
     weight_sum = jnp.asarray(1e-8, jnp.float32)
     feats_sum = jnp.asarray(0.0, jnp.float32)
     for v in range(num_views):

@@ -661,6 +661,84 @@ def warp_predicate(channels: int, x, y) -> jnp.ndarray:
     return functools.reduce(jnp.logical_or, preds)
 
 
+def _pack_ref(ref_feat, L, w):
+    """Reference feature in the packed lane order (rp rows, d depths, pc
+    cols — the fused correlation multiplies warped and ref lane-wise),
+    band/width-padded for the kernel.  The ref is IDENTICAL for every
+    source view of a stage, so the fused multi-view path hoists this out
+    of the per-view loop (it builds a d-fold duplicated ~4x-feature-sized
+    tensor — one of the big per-view glue costs of the legacy entry)."""
+    b, _, _, c = ref_feat.shape
+    d, hp, rp, pc, wo, nvr = (L["d"], L["hp"], L["rp"], L["pc"], L["wo"],
+                              L["nvr"])
+    nwj = L["knxb"]
+    nwc = wo // pc
+    rf = ref_feat
+    if wo != w:
+        rf = jnp.pad(rf, ((0, 0), (0, 0), (0, wo - w), (0, 0)))
+    ref_lanes = jnp.broadcast_to(
+        jnp.transpose(
+            rf.reshape(b, hp, rp, nwc, pc, c), (0, 1, 3, 2, 4, 5)
+        ).reshape(b, hp, nwc, rp, 1, pc, c),
+        (b, hp, nwc, rp, d, pc, c),
+    ).reshape(b, hp, nwj * LANE, c)
+    return _pad_feature(ref_lanes, nvr, nwj * LANE + 2 * PADX)
+
+
+def _run_kernel_raw(src_feat, ref_p, xc, yc, meta_row, shift, L, group_dim,
+                    sub, fuse_cor, interpret, h, w):
+    """Invoke the Pallas kernel with pre-packed ref/coords; returns the
+    RAW kernel output ((B, KD, G, HP, KNXB*LANE) fused, or the warp-only
+    layout) without unpacking."""
+    b2, wp = L["b2"], L["wp"]
+    kd, knxb, cp = L["kd"], L["knxb"], L["cp"]
+    nb, winb, nk, nvr, hp = L["nb"], L["winb"], L["nk"], L["nvr"], L["hp"]
+    # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
+    # tile-padded (last two dims to (8,128)) and overflow SMEM at raw
+    src_p = _pad_feature(src_feat, b2, wp)
+    assert src_p.shape[2] == cp
+    return _pallas_call(
+        meta_row.reshape(-1), shift.reshape(-1), src_p, ref_p, xc, yc,
+        b2=b2, winb=winb, nk=nk, d=kd, group_dim=group_dim,
+        sub=sub, h=h, w=w, nb=nb, nxb=knxb, nvr=nvr, hp=hp, cp=cp,
+        wp=wp, interpret=interpret, fuse_cor=fuse_cor,
+    )
+
+
+def _unpack_cor(out, L, group_dim, h, w):
+    """(B, KD, G, HP, KNXB*LANE) raw fused output -> (B, D, H, W, G)."""
+    b = out.shape[0]
+    d, hp, rp, pc, wo, pack = (L["d"], L["hp"], L["rp"], L["pc"], L["wo"],
+                               L["pack"])
+    if pack:
+        nwc = wo // pc
+        return jnp.transpose(
+            out.reshape(b, group_dim, hp, nwc, rp, d, pc),
+            (0, 5, 2, 4, 3, 6, 1),
+        ).reshape(b, d, h, wo, group_dim)[:, :, :, :w]
+    return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
+
+
+def _pack_cor(cor, L, group_dim, w):
+    """Inverse of _unpack_cor: (B, D, H, W, G) -> (B, KD=1, G, HP, NL).
+    Used by the fused multi-view path's fallback branches so every branch
+    returns the PRIMARY layout (lax.cond branches must agree on shape);
+    width padding is edge-valued — padded lanes never reach real output
+    pixels (the final unpack slices them away, and the packed softmax
+    mixes lanes only within one (pixel, depth) column group)."""
+    b, d, h, _, g = cor.shape
+    hp, rp, pc, wo = L["hp"], L["rp"], L["pc"], L["wo"]
+    nwc = wo // pc
+    if wo != w:
+        cor = jnp.pad(
+            cor, ((0, 0),) * 3 + ((0, wo - w), (0, 0)), mode="edge"
+        )
+    out = jnp.transpose(
+        cor.reshape(b, d, hp, rp, nwc, pc, g), (0, 6, 2, 4, 3, 1, 5)
+    ).reshape(b, g, hp, nwc * rp * d * pc)
+    return out[:, None]
+
+
 def _run_kernel(src_feat, ref_feat, xc, yc, meta_row, shift, L, group_dim,
                 sub, fuse_cor, interpret, h, w):
     """Pack features, invoke the Pallas kernel, unpack the output — the
@@ -668,51 +746,20 @@ def _run_kernel(src_feat, ref_feat, xc, yc, meta_row, shift, L, group_dim,
     and `_warp_impl_geom`'s packed-emission path).  xc/yc are coords
     ALREADY in this layout's kernel lane order."""
     b, _, _, c = src_feat.shape
-    d = L["d"]
-    b2, wp, wo, pack, pc = L["b2"], L["wp"], L["wo"], L["pack"], L["pc"]
-    nb, winb, nk = L["nb"], L["winb"], L["nk"]
-    kd, knxb, cp = L["kd"], L["knxb"], L["cp"]
-    rp, nvr, hp = L["rp"], L["nvr"], L["hp"]
-    # flatten the scalar-prefetch operands: multi-dim SMEM arrays are
-    # tile-padded (last two dims to (8,128)) and overflow SMEM at raw
-    meta_flat = meta_row.reshape(-1)
-    shift_flat = shift.reshape(-1)
-
-    src_p = _pad_feature(src_feat, b2, wp)
-    assert src_p.shape[2] == cp
+    pack = L["pack"]
     if pack:
-        nwj = knxb
-        nwc = wo // pc  # column groups per row
-        rf = ref_feat
-        if wo != w:
-            rf = jnp.pad(rf, ((0, 0), (0, 0), (0, wo - w), (0, 0)))
-        # ref in the packed lane order (rp rows, d depths, pc cols): the
-        # fused correlation multiplies warped and ref lane-wise
-        ref_lanes = jnp.broadcast_to(
-            jnp.transpose(
-                rf.reshape(b, hp, rp, nwc, pc, c), (0, 1, 3, 2, 4, 5)
-            ).reshape(b, hp, nwc, rp, 1, pc, c),
-            (b, hp, nwc, rp, d, pc, c),
-        ).reshape(b, hp, nwj * LANE, c)
-        ref_p = _pad_feature(ref_lanes, nvr, nwj * LANE + 2 * PADX)
+        ref_p = _pack_ref(ref_feat, L, w)
     else:
-        nwc = 0
-        ref_p = _pad_feature(ref_feat, b2, wp)
-    out = _pallas_call(
-        meta_flat, shift_flat, src_p, ref_p, xc, yc,
-        b2=b2, winb=winb, nk=nk, d=kd, group_dim=group_dim,
-        sub=sub, h=h, w=w, nb=nb, nxb=knxb, nvr=nvr, hp=hp, cp=cp,
-        wp=wp, interpret=interpret, fuse_cor=fuse_cor,
-    )
-    if fuse_cor:  # (B, KD, G, HP, KNXB*LANE)
-        if pack:
-            return jnp.transpose(
-                out.reshape(b, group_dim, hp, nwc, rp, d, pc),
-                (0, 5, 2, 4, 3, 6, 1),
-            ).reshape(b, d, h, wo, group_dim)[:, :, :, :w]
-        return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
+        ref_p = _pad_feature(ref_feat, L["b2"], L["wp"])
+    out = _run_kernel_raw(src_feat, ref_p, xc, yc, meta_row, shift, L,
+                          group_dim, sub, fuse_cor, interpret, h, w)
+    if fuse_cor:
+        return _unpack_cor(out, L, group_dim, h, w)
     # warp-only: (B, KD, HP, CP, KNXB*LANE)
+    d, hp, rp, pc, wo, cp = (L["d"], L["hp"], L["rp"], L["pc"], L["wo"],
+                             L["cp"])
     if pack:
+        nwc = wo // pc
         return jnp.transpose(
             out.reshape(b, hp, cp, nwc, rp, d, pc),
             (0, 5, 1, 4, 3, 6, 2),
@@ -749,6 +796,18 @@ def _warp_impl_geom(src_feat, ref_feat, src_proj, ref_proj, depth_hypo,
                           interpret, force_rp=force_rp)
 
     rot, trans = plane_sweep_rt(src_proj, ref_proj)
+    return _geom_chain(src_feat, ref_feat, src_proj, ref_proj, depth_hypo,
+                       rot, trans, layouts, group_dim, sub, fuse_cor,
+                       interpret)
+
+
+def _geom_chain(src_feat, ref_feat, src_proj, ref_proj, depth_hypo, rot,
+                trans, layouts, group_dim, sub, fuse_cor, interpret):
+    """The packed-variant cond chain over `layouts`, terminating in the
+    unpacked XLA path.  Returns ((B, D, H, W, *) out, ran_on_kernel)."""
+    from mvster_tpu.core.geometry import plane_sweep_coords
+
+    _, d, h, w = depth_hypo.shape
 
     def xla_tail(_):
         from mvster_tpu.core.sampling import grid_sample_zeros
@@ -776,7 +835,109 @@ def _warp_impl_geom(src_feat, ref_feat, src_proj, ref_proj, depth_hypo,
         nxt = (lambda _: run(i + 1)) if i + 1 < len(layouts) else xla_tail
         return jax.lax.cond(pred, hit, nxt, operand=None)
 
-    return run(0)
+    return run(0) if layouts else xla_tail(None)
+
+
+def fused_cost_volume_geom(
+    ref_feat, src_feats, ref_proj, src_projs, depth_hypo, group_dim,
+    attn_temp, attn_fuse_d, *, interpret=False, force_rp=None,
+):
+    """The COMPLETE multi-view fused cost volume in packed lane space.
+
+    The round-4 glue decomposition (scripts/probe_cv_glue.py, BENCHNOTES)
+    showed the per-view kernel WRAPPER — not coords or metadata — owns
+    ~100 ms of the ~199 ms raw stage4 cost volume: each view rebuilt the
+    d-fold-duplicated packed reference, transposed x/y into lane order,
+    and transposed its correlation back to (B, D, H, W, G) just for the
+    attention fusion to consume it elementwise.  This path instead:
+
+      * packs the hypotheses and the reference ONCE per stage (both are
+        view-invariant) and emits each view's coords directly in lane
+        order (_packed_plane_sweep);
+      * keeps each view's raw kernel output (B, 1, G, HP, NL) packed and
+        computes the cross-view attention (score = sum over G, softmax
+        over the depth positions INSIDE each lane group, 1/sqrt(C)) and
+        the online weighted accumulation in packed space — depth sits in
+        the lanes, so the softmax is a reshape + axis softmax;
+      * unpacks ONCE after the final normalization.
+
+    Per-view graceful degradation is preserved: a view whose primary
+    layout predicate fails drops into the remaining variant chain + XLA
+    tail and its result is REPACKED into the primary layout (rare path
+    pays the transposes the common path no longer does).
+
+    Returns (out (B, D, H, W, G), fallback_count int32) — same contract
+    as build_cost_volume's per-view loop.  Behavioral reference:
+    stagenet's view loop (/root/reference/models/mvs4net_utils.py:
+    1025-1060)."""
+    from mvster_tpu.core.geometry import plane_sweep_rt
+
+    b, h, w, c = ref_feat.shape
+    _, d, _, _ = depth_hypo.shape
+    assert c % group_dim == 0
+    sub = c // group_dim
+    num_views = len(src_feats)
+
+    rps = [force_rp] if force_rp is not None else _variant_rps(d, h)
+    layouts = [_layout(c, d, h, w, rp) for rp in rps]
+    L = layouts[0]
+    assert L["pack"], "fused_cost_volume_geom requires a packed layout"
+    rp, pc, hp = L["rp"], L["pc"], L["hp"]
+    nwj = L["knxb"]
+
+    dpk = _pack_depth(depth_hypo, L)
+    ref_p = _pack_ref(ref_feat, L, w)
+
+    fallbacks = jnp.asarray(0, jnp.int32)
+    weight_sum = jnp.asarray(1e-8, jnp.float32)
+    feats_sum = jnp.asarray(0.0, jnp.float32)
+    inv_sqrt_c = jnp.float32(1.0 / (c ** 0.5))
+
+    def packed_softmax_d(score):
+        # score (B, 1, HP, NL); depth positions live inside each lane
+        # group (lane order nwj | rp, d, pc) — softmax over that axis
+        s = score.reshape(b, 1, hp, nwj, rp, d, pc)
+        s = jax.nn.softmax(s / attn_temp, axis=-2)
+        return s.reshape(b, 1, hp, nwj * LANE)
+
+    for v in range(num_views):
+        rot, trans = plane_sweep_rt(src_projs[v], ref_proj)
+        xk, yk = _packed_plane_sweep(rot, trans, dpk, L, w)
+        meta_row, shift, pred = window_meta_packed(xk, yk, L, h, w)
+
+        def hit(_, xk=xk, yk=yk, meta_row=meta_row, shift=shift, v=v):
+            out = _run_kernel_raw(
+                src_feats[v], ref_p, xk, yk, meta_row, shift, L,
+                group_dim, sub, True, interpret, h, w,
+            )
+            return out, jnp.ones((), bool)
+
+        def miss(_, v=v):
+            rot_v, trans_v = plane_sweep_rt(src_projs[v], ref_proj)
+            out, ran = _geom_chain(
+                src_feats[v], ref_feat, src_projs[v], ref_proj,
+                depth_hypo, rot_v, trans_v, layouts[1:], group_dim, sub,
+                True, interpret,
+            )
+            return _pack_cor(out, L, group_dim, w), ran
+
+        cor, ran = jax.lax.cond(pred, hit, miss, operand=None)
+        fallbacks = fallbacks + (1 - ran.astype(jnp.int32))
+        cor = cor.astype(jnp.float32)  # (B, 1, G, HP, NL)
+        score = jnp.sum(cor, axis=2)   # (B, 1, HP, NL)
+        if attn_fuse_d:
+            wt = packed_softmax_d(score) * inv_sqrt_c
+        else:
+            s = score.reshape(b, 1, hp, nwj, rp, d, pc)
+            s = jnp.max(jax.nn.softmax(s, axis=-2), axis=-2, keepdims=True)
+            wt = jnp.broadcast_to(
+                s, (b, 1, hp, nwj, rp, d, pc)
+            ).reshape(b, 1, hp, nwj * LANE)
+        weight_sum = weight_sum + wt
+        feats_sum = feats_sum + wt[:, :, None] * cor
+
+    out = feats_sum / weight_sum[:, :, None]
+    return _unpack_cor(out, L, group_dim, h, w), fallbacks
 
 
 def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret,

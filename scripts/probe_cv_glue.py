@@ -169,6 +169,21 @@ def main():
     t_f = chain_latency(fuse_only, cors, iters=4)
     print(f"F  view_weight + accumulation:     {t_f * 1e3:8.2f} ms")
 
+    # --- G. geometry-direct packed-coords entry (round-4 rewrite)
+    def cv_packed(carry, f, hy):
+        ref = f[:, 0] + 1e-12 * carry
+        srcs = [f[:, i] for i in range(1, f.shape[1])]
+        cor = build_cost_volume(
+            ref, srcs, ref_proj, src_projs, hy, group_cor=cfg.group_cor,
+            group_dim=g, attn_temp=cfg.attn_temp,
+            attn_fuse_d=cfg.attn_fuse_d, impl="pallas",
+            pallas_coords="packed",
+        )
+        return jnp.mean(cor)
+
+    t_g = chain_latency(cv_packed, feat, hypo, iters=4)
+    print(f"G  full cost volume, packed coords: {t_g * 1e3:7.2f} ms")
+
     print(f"\nreconcile: B + D + F = {(t_b + t_d + t_f) * 1e3:.2f} ms "
           f"vs A {t * 1e3:.2f} ms")
     print(f"kernel-only estimate: D - C = {(t_d - t_c) * 1e3:.2f} ms")

@@ -335,3 +335,42 @@ def test_geom_entry_xla_tail(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(cor_xla), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("attn_fuse_d", [True, False])
+def test_fused_cost_volume_fallback_repacks(monkeypatch, attn_fuse_d):
+    """The fused multi-view packed path: when a view's primary layout
+    predicate fails it must route through the variant chain's XLA tail
+    and REPACK into the primary layout — fallbacks counted, numerics
+    matching the reference formulation in both attention modes."""
+    from mvster_tpu.kernels import pallas_warp
+    from mvster_tpu.kernels.cost_volume import build_cost_volume
+
+    sample = plane_scene_sample(5)
+    imgs = jnp.asarray(sample["imgs"])
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+    args = (
+        imgs[:, 0], [imgs[:, 1], imgs[:, 2]],
+        composed[:, 0], [composed[:, 1], composed[:, 2]], hypo,
+    )
+    kw = dict(group_cor=True, group_dim=3, attn_temp=2.0,
+              attn_fuse_d=attn_fuse_d)
+    ref_out = build_cost_volume(*args, **kw, impl="xla")
+
+    orig = pallas_warp.window_meta_packed
+
+    def veto(*a, **k):
+        meta, shift, _ = orig(*a, **k)
+        return meta, shift, jnp.zeros((), bool)
+
+    monkeypatch.setattr(pallas_warp, "window_meta_packed", veto)
+    with pltpu.force_tpu_interpret_mode():
+        out, fb = build_cost_volume(
+            *args, **kw, impl="pallas", pallas_coords="packed",
+            with_fallbacks=True,
+        )
+    assert int(fb) == 2, "vetoed predicates must count as fallbacks"
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-4
+    )
