@@ -152,6 +152,25 @@ def main():
     bench("FUSED up+add+out4 @/1", tail, xi, lat3, w4,
           flops=conv_flops(h, w, 3, final, b))
 
+    # same with an optimization barrier after the add: round-4 measured
+    # the fused subgraph SLOWER than its isolated parts (81.6 vs 63 ms at
+    # raw) — hypothesis: XLA fuses the upsample stencil INTO the conv
+    # input, recomputing it per conv-window tap.  The barrier forces the
+    # upsampled sum to materialize first.
+    def tail_bar(carry, x_, l_, w_):
+        intra = resize_bilinear_align_corners(x_ + 1e-12 * carry, h, w) + l_
+        intra = jax.lax.optimization_barrier(intra)
+        return jnp.mean(conv(intra, w_))
+
+    bench("BARRIER up+add | out4 @/1", tail_bar, xi, lat3, w4,
+          flops=conv_flops(h, w, 3, final, b))
+
+    # bandwidth anchor: a pure elementwise copy at the full-res 64ch
+    # shape — the speed-of-light reference for every stencil/upsample row
+    xb64 = arr(bv, h, w, final)
+    bench("ANCHOR copy @/1 64ch (x*1.0001)",
+          lambda carry, x_: jnp.mean(x_ * (1.0001 + 1e-12 * carry)), xb64)
+
     print(f"  {'SUM of isolated layers':34s} {total * 1e3:8.2f} ms")
 
 
