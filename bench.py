@@ -18,12 +18,24 @@ the diagnostics that invalidated the round-1 numbers.
 
 import json
 import sys
+import time
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 import jax
 import jax.numpy as jnp
+
+_T0 = time.time()
+
+
+def _stamp(msg):
+    """Progress to stderr (the JSON line owns stdout): bench.py compiles
+    ~10 distinct programs and can spend tens of minutes cold — the stamps
+    plus the persistent compile cache (enabled in main) keep reruns fast
+    and hangs diagnosable."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 BASELINE_SEC_PER_VIEW = 0.09
 BASELINE_RAW_SEC_PER_VIEW = 0.17
@@ -202,6 +214,9 @@ def main():
     print(f"devices: {devices}", file=sys.stderr)
 
     from mvster_tpu.models import MVS4Net, MVS4NetConfig
+    from mvster_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     model = MVS4Net(MVS4NetConfig.dtu_default(mono=False))
     b0 = _batch(512, 640, 5)
@@ -213,9 +228,11 @@ def main():
     )()
     jax.block_until_ready(variables)
 
+    _stamp("mid f32 forward")
     mid = bench_forward(model, variables, 512, 640, 5, iters=8)
     # raw eval size: max_h 1200 snaps to the 64-multiple 1152
     # (general_eval4.py:92-109)
+    _stamp("raw f32 forward")
     raw = bench_forward(model, variables, 1152, 1600, 5, iters=4)
 
     extras = {
@@ -230,16 +247,20 @@ def main():
         model16 = MVS4Net(
             MVS4NetConfig.dtu_default(mono=False, compute_dtype="bfloat16")
         )
+        _stamp("raw bf16 forward")
         raw16 = bench_forward(model16, variables, 1152, 1600, 5, iters=4)
         extras["dtu_raw_bf16_sec_per_view"] = raw16
         extras["dtu_raw_bf16_vs_baseline"] = BASELINE_RAW_SEC_PER_VIEW / raw16
+        _stamp("mid bf16 forward")
         mid16 = bench_forward(model16, variables, 512, 640, 5, iters=8)
         extras["dtu_mid_bf16_sec_per_view"] = mid16
         extras["dtu_mid_bf16_vs_baseline"] = BASELINE_SEC_PER_VIEW / mid16
     except Exception as e:  # keep the headline if bf16 mode regresses
         extras["dtu_raw_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    _stamp("train step b2 f32")
     extras["train_step_ms_mid_b2"] = bench_train_step(iters=4) * 1e3
+    _stamp("train step b2 bf16")
     try:
         extras["train_step_ms_mid_b2_bf16"] = (
             bench_train_step(iters=4, compute_dtype="bfloat16") * 1e3
@@ -260,10 +281,12 @@ def main():
          lambda: bench_train_step_threaded(8, grad_accum=2)),
     ]:
         try:
+            _stamp(key)
             extras[key] = fn() * 1e3
         except Exception as e:
             extras[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    _stamp("done")
     print(
         json.dumps(
             {

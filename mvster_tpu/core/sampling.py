@@ -186,8 +186,20 @@ def resize_bilinear_align_corners(
     if h == out_h and w == out_w:
         return x
     if out_h == 2 * h and out_w == 2 * w:
-        x = _upsample2x_align_corners_axis(x, -3)
-        return _upsample2x_align_corners_axis(x, -2)
+        # W axis first, while the tensor is h (not 2h) rows tall: the W
+        # interleave is the expensive half (it shuffles the second-minor
+        # dim; the H interleave is a free reshape), and the Pallas lane
+        # kernel (kernels/pallas_up.py) replaces XLA's ~30 GB/s relayout
+        # wherever its static guard holds.
+        from mvster_tpu.kernels.pallas_up import up2w_pallas, up2w_supported
+
+        lead = x.shape[:-3]
+        x4 = x.reshape((-1,) + x.shape[-3:])
+        if up2w_supported(x4):
+            x = up2w_pallas(x4).reshape(lead + (h, 2 * w, x.shape[-1]))
+        else:
+            x = _upsample2x_align_corners_axis(x, -2)
+        return _upsample2x_align_corners_axis(x, -3)
     mh = _interp_matrix(x.dtype, h, out_h)
     mw = _interp_matrix(x.dtype, w, out_w)
     return jnp.einsum(

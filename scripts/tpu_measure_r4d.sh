@@ -17,6 +17,10 @@ cd "$(dirname "$0")/.."
   timeout 1800 python scripts/probe_reg_layers.py
   echo "=== FPN layer map: barrier experiment + bandwidth anchor ==="
   timeout 1800 python scripts/probe_fpn_layers.py
-  echo "=== component map, mid f32 (v2 stencil ups) ==="
+  echo "=== upsample A/B: einsum vs stencil orders vs pallas lane kernel ==="
+  timeout 1800 python scripts/probe_up.py
+  echo "=== component map, mid f32 (pallas up kernel routed) ==="
   timeout 1800 python scripts/bench_components.py 512 640
+  echo "=== component map, raw f32 (pallas up kernel routed) ==="
+  timeout 2400 python scripts/bench_components.py 1152 1600
 } 2>&1 | tee /tmp/r4d_measure.log
