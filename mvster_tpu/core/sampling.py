@@ -171,34 +171,36 @@ def resize_linear_1d(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
+# Measured crossover for the exact-2x bilinear upsample (probe_up.py, TPU
+# v5e f32): einsum wins at 288x400 inputs and below; the W-then-H stencil
+# wins at 576x800 (30.26 vs 48.17 ms).  Route the stencil only at and above
+# the shape where it was measured to win.
+_STENCIL2X_MIN_PIXELS = 576 * 800
+
+
 def resize_bilinear_align_corners(
     x: jnp.ndarray, out_h: int, out_w: int
 ) -> jnp.ndarray:
     """(..., H, W, C) -> (..., out_h, out_w, C), align_corners=True bilinear.
 
     Exact-2x resizes (the FPN top-down pathway, mvs4net_utils.py:419-502)
-    take the elementwise stencil path; everything else is one einsum over
-    both interpolation matrices (XLA chooses contraction order and layouts
-    itself, which measures 2.5x faster than the explicit moveaxis+matmul
-    chain at FPN shapes).
+    route on the on-chip A/B table from scripts/probe_up.py (TPU v5e,
+    f32, 5 views x 64ch): the dense-matrix einsum wins at every shape up
+    to 288x400 inputs (raw /4->/2: einsum 8.58 ms vs stencil 8.86/10.71),
+    while at 576x800 (raw /2->/1) the W-then-H stencil order wins 30.26 ms
+    vs einsum 48.17.  A Pallas lane kernel for the W interleave measured
+    SLOWER everywhere (raw /2->/1: 76.66 ms) and was deleted — XLA's fused
+    stencil beats a hand kernel because the interleave is bandwidth-bound
+    and the kernel forced an extra relayout at its block boundary.
     """
     h, w = x.shape[-3], x.shape[-2]
     if h == out_h and w == out_w:
         return x
-    if out_h == 2 * h and out_w == 2 * w:
+    if out_h == 2 * h and out_w == 2 * w and h * w >= _STENCIL2X_MIN_PIXELS:
         # W axis first, while the tensor is h (not 2h) rows tall: the W
         # interleave is the expensive half (it shuffles the second-minor
-        # dim; the H interleave is a free reshape), and the Pallas lane
-        # kernel (kernels/pallas_up.py) replaces XLA's ~30 GB/s relayout
-        # wherever its static guard holds.
-        from mvster_tpu.kernels.pallas_up import up2w_pallas, up2w_supported
-
-        lead = x.shape[:-3]
-        x4 = x.reshape((-1,) + x.shape[-3:])
-        if up2w_supported(x4):
-            x = up2w_pallas(x4).reshape(lead + (h, 2 * w, x.shape[-1]))
-        else:
-            x = _upsample2x_align_corners_axis(x, -2)
+        # dim); measured st_wh 30.26 vs st_hw 33.95 ms at raw /2->/1.
+        x = _upsample2x_align_corners_axis(x, -2)
         return _upsample2x_align_corners_axis(x, -3)
     mh = _interp_matrix(x.dtype, h, out_h)
     mw = _interp_matrix(x.dtype, w, out_w)

@@ -232,15 +232,88 @@ AGG_BLOCKS = {
 }
 
 
+# Measured crossover for routing the (1,3,3)/(1,2,2) transpose conv onto
+# its polyphase decomposition (scripts/probe_reg_layers.py, TPU v5e f32):
+# polyphase wins at 288x400 inputs (1.19 -> 0.14 ms) and 576x800
+# (4.90 -> 1.34 ms); the input-dilated form wins at 144x200 (0.08 vs
+# 0.37 ms).  Route polyphase only at and above the smallest measured win.
+_POLYPHASE_MIN_PIXELS = 288 * 400
+
+
+def deconv_dilated(x, kernel, k, s):
+    """Transposed conv as an input-dilated regular convolution.
+
+    For torch's ConvTranspose3d(k=3, stride=s, padding=1, output_padding=1)
+    the equivalent is lhs_dilation=s with per-axis padding (1, 2) on
+    upsampled axes and (k-1, k-1) on unit-stride axes.  `kernel` is the
+    *flipped* torch kernel in DHWIO layout (the checkpoint converter
+    performs the flip).
+    """
+    pad = []
+    for ki, si in zip(k, s):
+        if si == 1:
+            # k=1 axis of reg2d deconvs: torch pad 0 -> lo = hi = k-1 = 0
+            pad.append((ki - 1 if ki == 1 else ki - 2,) * 2)
+        else:
+            # torch pad=1, output_padding=1: lo = k-1-pad, hi = k-1-pad+opad
+            pad.append((ki - 2, ki - 1))
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1, 1),
+        padding=pad,
+        lhs_dilation=s,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def deconv_polyphase_2x2(x, kernel):
+    """(1,3,3)/(1,2,2) transposed conv as a polyphase decomposition.
+
+    The input-dilated form pays 9 taps per output pixel of which 5-8 hit
+    interleaved zeros — at reg2d's tiny channel counts the conv is tap-
+    bound, so the zeros are pure waste.  Polyphase instead convolves the
+    UNDILATED input with a dense 2x2 kernel emitting 4*cout channels (one
+    per output parity phase) and interleaves with a depth_to_space
+    reshape: out[2i+oi, 2j+oj] sums input taps (i+si, j+sj) whose flipped-
+    kernel index (1+2si-oi, 1+2sj-oj) is in range.  Same arithmetic, 4x
+    the lanes, no zero taps; parity vs deconv_dilated ~1e-6 (probe +
+    tests/test_blocks_polyphase.py).
+    """
+    co = kernel.shape[4]
+    zeros = jnp.zeros_like(kernel[0, 0, 0])  # (ci, co)
+    rows = []
+    for si in range(2):
+        cols = []
+        for sj in range(2):
+            phases = []
+            for oi in range(2):
+                for oj in range(2):
+                    ki, kj = 1 + 2 * si - oi, 1 + 2 * sj - oj
+                    tap = kernel[0, ki, kj] if 0 <= ki <= 2 and 0 <= kj <= 2 else zeros
+                    phases.append(tap)
+            cols.append(jnp.concatenate(phases, axis=-1))  # (ci, 4co)
+        rows.append(jnp.stack(cols, axis=0))
+    kb = jnp.stack(rows, axis=0)[None]  # (1, 2, 2, ci, 4co)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kb, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )  # (B, D, H, W, 4co)
+    b, d, hh, ww, _ = y.shape
+    y = y.reshape(b, d, hh, ww, 2, 2, co)
+    y = jnp.transpose(y, (0, 1, 2, 4, 3, 5, 6))
+    return y.reshape(b, d, 2 * hh, 2 * ww, co)
+
+
 class ConvTransposeBnReLU3d(nn.Module):
     """Transposed 3D conv (stride (1,2,2) or (2,2,2)) -> BN -> ReLU.
 
-    Expressed as an input-dilated regular convolution: for torch's
-    ConvTranspose3d(k=3, stride=s, padding=1, output_padding=1) the equivalent
-    is lhs_dilation=s with per-axis padding (1, 2) on upsampled axes and
-    (1, 1) on unit-stride axes.  The stored kernel is the *flipped* torch
-    kernel in DHWIO layout (the checkpoint converter performs the flip), so
-    the forward pass is a single conv_general_dilated.
+    Routes between two same-numerics formulations of the transposed conv:
+    the input-dilated regular convolution (general; see deconv_dilated)
+    and, for the reg2d (1,3,3)/(1,2,2) case at large spatial sizes, the
+    polyphase decomposition (deconv_polyphase_2x2) — routing threshold is
+    the measured table at _POLYPHASE_MIN_PIXELS.
     """
 
     out_channels: int
@@ -259,22 +332,9 @@ class ConvTransposeBnReLU3d(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             k + (in_ch, self.out_channels),
         )
-        pad = []
-        for ki, si in zip(k, s):
-            if si == 1:
-                # k=1 axis of reg2d deconvs: torch pad 0 -> lo = hi = k-1 = 0
-                lo = ki - 1 if ki == 1 else ki - 2
-                hi = ki - 1 if ki == 1 else ki - 2
-                pad.append((lo, hi))
-            else:
-                # torch pad=1, output_padding=1: lo = k-1-pad, hi = k-1-pad+opad
-                pad.append((ki - 2, ki - 1))
-        x = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=(1, 1, 1),
-            padding=pad,
-            lhs_dilation=s,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
+        h, w = x.shape[-3], x.shape[-2]
+        if k == (1, 3, 3) and s == (1, 2, 2) and h * w >= _POLYPHASE_MIN_PIXELS:
+            x = deconv_polyphase_2x2(x, kernel.astype(x.dtype))
+        else:
+            x = deconv_dilated(x, kernel.astype(x.dtype), k, s)
         return nn.relu(_bn3d(train)(x))

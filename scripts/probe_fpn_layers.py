@@ -140,16 +140,21 @@ def main():
                        flops=conv_flops(hi, wi, 3, ci, co))
 
     # fused tail at full res: up + add-lateral + out4 as ONE jit body —
-    # measures what XLA fusion buys over the isolated pieces.
-    xi = arr(bv, h // 2, w // 2, final)
-    lat3 = arr(bv, h, w, final)
+    # measures what XLA fusion buys over the isolated pieces.  Run at 2
+    # views, not 5: the chained-latency wrapper holds two carry copies of
+    # every argument and the 5-view raw tail OOMed HBM (16.04 G > 15.75 G
+    # in the 2026-08-19 r4d run); scale the printed ms by 2.5 to compare
+    # against the 5-view isolated rows.
+    bt = 2
+    xi = arr(bt, h // 2, w // 2, final)
+    lat3 = arr(bt, h, w, final)
     w4 = arr(3, 3, final, b) * 0.1
 
     def tail(carry, x_, l_, w_):
         intra = resize_bilinear_align_corners(x_ + 1e-12 * carry, h, w) + l_
         return jnp.mean(conv(intra, w_))
 
-    bench("FUSED up+add+out4 @/1", tail, xi, lat3, w4,
+    bench("FUSED up+add+out4 @/1 (2v)", tail, xi, lat3, w4,
           flops=conv_flops(h, w, 3, final, b))
 
     # same with an optimization barrier after the add: round-4 measured
@@ -162,7 +167,7 @@ def main():
         intra = jax.lax.optimization_barrier(intra)
         return jnp.mean(conv(intra, w_))
 
-    bench("BARRIER up+add | out4 @/1", tail_bar, xi, lat3, w4,
+    bench("BARRIER up+add | out4 @/1 (2v)", tail_bar, xi, lat3, w4,
           flops=conv_flops(h, w, 3, final, b))
 
     # bandwidth anchor: a pure elementwise copy at the full-res 64ch

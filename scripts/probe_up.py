@@ -6,7 +6,11 @@ shapes, 5 views folded into batch, 64 channels).  Columns:
   einsum   - dense interpolation-matrix einsum (round-3 default)
   st_hw    - 3-tap stencil, H pass then W pass (round-4 v2 default)
   st_wh    - stencil, W pass first (the W interleave runs at h, not 2h)
-  pallas   - Pallas lane kernel for W (kernels/pallas_up.py) + H stencil
+
+A fourth column (Pallas lane kernel for the W interleave) measured SLOWER
+than every alternative at every shape (raw /2->/1: 76.66 ms vs st_wh
+30.26) and was deleted with that verdict; the 2026-08-19 run of this
+probe in BENCHNOTES.md records its numbers.
 
 The winner (per size class) becomes resize_bilinear_align_corners' routed
 path; this table is the measured justification.
@@ -23,7 +27,6 @@ from mvster_tpu.core.sampling import (
     _interp_matrix,
     _upsample2x_align_corners_axis,
 )
-from mvster_tpu.kernels.pallas_up import up2w_pallas, up2w_supported
 from mvster_tpu.utils.profiling import chain_latency
 
 
@@ -37,8 +40,7 @@ def main():
         ("raw /2->/1", (5, 576, 800, 64)),
     ]
     print("2x upsample A/B (ms, chained, f32)")
-    print(f"{'shape':<12} {'einsum':>8} {'st_hw':>8} {'st_wh':>8} "
-          f"{'pallas':>8}")
+    print(f"{'shape':<12} {'einsum':>8} {'st_hw':>8} {'st_wh':>8}")
     for name, shp in shapes:
         b, h, w, c = shp
         x = jax.random.normal(jax.random.PRNGKey(0), shp, jnp.float32)
@@ -60,19 +62,9 @@ def main():
             out = _upsample2x_align_corners_axis(out, -3)
             return jnp.mean(out)
 
-        def f_pallas(carry, x_):
-            out = up2w_pallas(x_ + 1e-12 * carry)
-            out = _upsample2x_align_corners_axis(out, -3)
-            return jnp.mean(out)
-
         cols = [chain_latency(f, x, iters=8) * 1e3
                 for f in (f_einsum, f_st_hw, f_st_wh)]
-        if up2w_supported(x):
-            cols.append(chain_latency(f_pallas, x, iters=8) * 1e3)
-        else:
-            cols.append(float("nan"))
-        print(f"{name:<12} {cols[0]:>8.2f} {cols[1]:>8.2f} {cols[2]:>8.2f} "
-              f"{cols[3]:>8.2f}")
+        print(f"{name:<12} {cols[0]:>8.2f} {cols[1]:>8.2f} {cols[2]:>8.2f}")
 
 
 if __name__ == "__main__":

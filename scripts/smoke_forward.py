@@ -108,7 +108,12 @@ def main():
         f"{float(err):.2e}, fallbacks {int(nfb)}/{v - 1}"
     )
     assert int(nfb) == 0 or float(err) == 0.0, "parity check did not run the kernel"
-    assert float(err) <= 1e-5, f"pallas warp diverged from XLA: {float(err)}"
+    # Tolerance matches tests/test_pallas_warp.test_build_cost_volume_
+    # packed_coords_matches: the geometry-direct packed entry (the default)
+    # reassociates the coordinate dot products (<= 1e-4 px), which shifts
+    # bilinear weights by the same order — on unit-normal features the
+    # correlation then moves by up to ~1e-3 (measured on-chip 4.7e-4).
+    assert float(err) <= 2e-3, f"pallas warp diverged from XLA: {float(err)}"
     print("OK")
 
 
