@@ -118,6 +118,7 @@ def build_cost_volume(
     with_fallbacks: bool = False,
     force_rp: int | None = None,
     pallas_coords: str = "packed",
+    out_layout: str = "bdhwc",
 ):
     """Fused multi-view cost volume with online cross-view normalization.
 
@@ -150,10 +151,18 @@ def build_cost_volume(
         packed wins at every measured stage — raw stage4 198.7 -> 163.8 ms,
         raw stage3 42.4 -> 39.5, mid stage4 16.9 -> 14.7.
 
+      out_layout: "bdhwc" (default) or "folded" — the depth-folded lane
+        layout (B, 1, H, W, D*G) consumed by the folded reg2d
+        (nn/reg.py).  On the fused Pallas path the folded emission is one
+        transpose from packed space (replacing unpack + re-fold); other
+        paths fold explicitly, so numerics are layout-invariant.
+
     Returns:
-      (B, D, H, W, G or C) attention-fused correlation volume
+      (B, D, H, W, G or C) attention-fused correlation volume — or
+      (B, 1, H, W, D*(G or C)) when out_layout="folded"
       [, fallback count if with_fallbacks].
     """
+    folded = out_layout == "folded"
     c = ref_feat.shape[-1]
     num_views = len(src_feats)
     want_pallas = impl == "pallas" and group_cor
@@ -182,6 +191,7 @@ def build_cost_volume(
             out, fallbacks = fused_cost_volume_geom(
                 ref_feat, src_feats, ref_proj, src_projs, depth_hypo,
                 group_dim, attn_temp, attn_fuse_d, force_rp=force_rp,
+                folded=folded,
             )
             return (out, fallbacks) if with_fallbacks else out
         # unpacked lane layout (d == 1): per-view legacy loop below
@@ -231,4 +241,7 @@ def build_cost_volume(
         out = feats_sum / weight_sum[..., None]
     else:
         out = feats_sum / weight_sum[:, None, :, :, None]
+    if folded:
+        b, d, h, w, g = out.shape
+        out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, 1, h, w, d * g)
     return (out, fallbacks) if with_fallbacks else out

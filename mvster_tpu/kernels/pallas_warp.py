@@ -705,18 +705,34 @@ def _run_kernel_raw(src_feat, ref_p, xc, yc, meta_row, shift, L, group_dim,
     )
 
 
-def _unpack_cor(out, L, group_dim, h, w):
-    """(B, KD, G, HP, KNXB*LANE) raw fused output -> (B, D, H, W, G)."""
+def _unpack_cor(out, L, group_dim, h, w, folded=False):
+    """(B, KD, G, HP, KNXB*LANE) raw fused output -> (B, D, H, W, G).
+
+    folded=True instead emits the depth-folded lane layout
+    (B, 1, H, W, D*G) consumed by the folded reg2d (nn/reg.py) — ONE
+    transpose from packed space, replacing the standard unpack PLUS the
+    re-fold the regularizer would otherwise pay on a (B,D,H,W,G) tensor.
+    """
     b = out.shape[0]
     d, hp, rp, pc, wo, pack = (L["d"], L["hp"], L["rp"], L["pc"], L["wo"],
                                L["pack"])
     if pack:
         nwc = wo // pc
-        return jnp.transpose(
-            out.reshape(b, group_dim, hp, nwc, rp, d, pc),
-            (0, 5, 2, 4, 3, 6, 1),
-        ).reshape(b, d, h, wo, group_dim)[:, :, :, :w]
-    return jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))
+        r = out.reshape(b, group_dim, hp, nwc, rp, d, pc)
+        if folded:
+            return jnp.transpose(r, (0, 2, 4, 3, 6, 5, 1)).reshape(
+                b, h, wo, d * group_dim
+            )[:, None, :, :w]
+        return jnp.transpose(r, (0, 5, 2, 4, 3, 6, 1)).reshape(
+            b, d, h, wo, group_dim
+        )[:, :, :, :w]
+    r = jnp.transpose(out[..., :w], (0, 1, 3, 4, 2))  # (B, D, H, W, G)
+    if folded:
+        bb, dd, hh, ww, gg = r.shape
+        return jnp.transpose(r, (0, 2, 3, 1, 4)).reshape(
+            bb, 1, hh, ww, dd * gg
+        )
+    return r
 
 
 def _pack_cor(cor, L, group_dim, w):
@@ -841,6 +857,7 @@ def _geom_chain(src_feat, ref_feat, src_proj, ref_proj, depth_hypo, rot,
 def fused_cost_volume_geom(
     ref_feat, src_feats, ref_proj, src_projs, depth_hypo, group_dim,
     attn_temp, attn_fuse_d, *, interpret=False, force_rp=None,
+    folded=False,
 ):
     """The COMPLETE multi-view fused cost volume in packed lane space.
 
@@ -937,7 +954,7 @@ def fused_cost_volume_geom(
         feats_sum = feats_sum + wt[:, :, None] * cor
 
     out = feats_sum / weight_sum[:, :, None]
-    return _unpack_cor(out, L, group_dim, h, w), fallbacks
+    return _unpack_cor(out, L, group_dim, h, w, folded=folded), fallbacks
 
 
 def _warp_impl(src_feat, ref_feat, x, y, group_dim, fuse_cor, interpret,

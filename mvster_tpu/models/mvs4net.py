@@ -75,6 +75,12 @@ class MVS4NetConfig:
     # branch).  All kernels fall back to XLA at runtime when the geometry
     # exceeds their static windows, so numerics are unchanged.
     warp_impl: str = "pallas"
+    # Folded-depth reg2d eval formulation (nn/reg.py): D folded into the
+    # conv lane dimension for the whole U-Net — 4x MXU lane utilization at
+    # the late stages.  Checkpoint-compatible by construction; eval-only
+    # (training always runs the standard branch).  Default OFF until the
+    # on-chip A/B blesses it (round-3 lesson: measure before default).
+    reg2d_fold: bool = False
 
     @classmethod
     def dtu_default(cls, **overrides) -> "MVS4NetConfig":
@@ -228,6 +234,12 @@ class MVS4Net(nn.Module):
         ref_proj = composed[:, 0]
         src_projs = [composed[:, i] for i in range(1, composed.shape[1])]
 
+        # folded-lane emission: when the folded reg2d will consume the
+        # volume (same predicate as Reg2d's routing), ask the cost volume
+        # for (B, 1, H, W, D*G) directly — on the fused Pallas path that's
+        # one transpose from packed space instead of unpack + re-fold.
+        fold_cv = (cfg.reg2d_fold and cfg.reg_net == "reg2d" and not train
+                   and cfg.agg_type == "ConvBnReLU3D" and cfg.pos_enc == 0)
         cor_feats, warp_fallbacks = build_cost_volume(
             ref_feat,
             src_feats,
@@ -240,7 +252,8 @@ class MVS4Net(nn.Module):
             attn_fuse_d=cfg.attn_fuse_d,
             impl=warp_impl,
             with_fallbacks=True,
-        )  # (B, D, H, W, G|C), int32 scalar
+            out_layout="folded" if fold_cv else "bdhwc",
+        )  # (B, D, H, W, G|C) [folded: (B, 1, H, W, D*G)], int32 scalar
 
         if cfg.pos_enc == 1:
             cor_feats = PosEncSine(name=f"pos_enc_{stage_idx}")(cor_feats, depth_hypo)
@@ -254,13 +267,17 @@ class MVS4Net(nn.Module):
         )  # float64: numerics-debugging mode (needs jax_enable_x64)
         if cfg.reg_net == "reg2d":
             regnet = Reg2d(cfg.reg_channel, cfg.agg_type, dtype=compute_dtype,
-                           name=f"reg_{stage_idx}")
+                           fold=cfg.reg2d_fold, name=f"reg_{stage_idx}")
         else:
             regnet = Reg3d(
                 cfg.reg_channel, cfg.reg3d_down_size[stage_idx],
                 name=f"reg_{stage_idx}",
             )
-        logits = regnet(cor_feats, train)  # (B, D, H, W)
+        if fold_cv:
+            logits = regnet(cor_feats, train, input_folded=True,
+                            depth=depth_hypo.shape[1])  # (B, D, H, W)
+        else:
+            logits = regnet(cor_feats, train)  # (B, D, H, W)
         attn_weight = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
 
         # winner-take-all depth (reference: gather of argmax,

@@ -61,6 +61,10 @@ def main():
     ap.add_argument("dims", nargs="*", type=int, metavar="H W [V]")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--fold", action="store_true",
+                    help="route reg2d through the folded-depth eval "
+                    "formulation (nn/reg.py) — the A/B for its routing "
+                    "default; affects the full forward AND the reg2d rows")
     ap.add_argument("--rp-sweep", action="store_true",
                     help="per stage, also time the Pallas cost volume with "
                     "the row-pack layout pinned to rp=1/2/4 on the REAL "
@@ -80,7 +84,8 @@ def main():
     from mvster_tpu.nn.reg import Reg2d
     from mvster_tpu.utils.profiling import chain_latency
 
-    cfg = MVS4NetConfig.dtu_default(mono=False, compute_dtype=dtype)
+    cfg = MVS4NetConfig.dtu_default(mono=False, compute_dtype=dtype,
+                                    reg2d_fold=ns.fold)
     cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     model = MVS4Net(cfg)
     s = synthetic_sample(0, batch=1, nviews=v, h=h, w=w)
@@ -191,7 +196,8 @@ def main():
                 impl="xla",
             )
         )(feat, hypo)
-        reg = Reg2d(cfg.reg_channel, cfg.agg_type, dtype=cdt)
+        reg = Reg2d(cfg.reg_channel, cfg.agg_type, dtype=cdt,
+                    fold=cfg.reg2d_fold)
         rvars = jax.jit(lambda: reg.init(jax.random.PRNGKey(0), cor, False))()
 
         def reg_fn(carry, rv, x):
