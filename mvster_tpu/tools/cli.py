@@ -40,10 +40,17 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv compute precision (norms/softmax/loss stay f32)")
+    p.add_argument("--reg2d_fold", default="auto", choices=["auto", "on", "off"],
+                   help="folded-depth reg2d eval formulation (nn/reg.py); "
+                        "auto = the measured MVS4NetConfig default")
 
 
 def model_config_from_args(args) -> MVS4NetConfig:
+    fold_kw = {}
+    if getattr(args, "reg2d_fold", "auto") != "auto":
+        fold_kw["reg2d_fold"] = args.reg2d_fold == "on"
     return MVS4NetConfig(
+        **fold_kw,
         arch_mode=args.arch_mode,
         reg_net=args.reg_mode,
         fpn_base_channel=args.fpn_base_channel,

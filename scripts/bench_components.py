@@ -44,13 +44,12 @@ def stage_inputs(cfg, out, dvals):
         nd = cfg.stage_splits[si]
         if si == 0:
             hypo = init_inverse_range(dvals, nd, hs, ws)
+            bounds = None
         else:
-            hypo = schedule_inverse_range(
-                prev["inverse_min_depth"], prev["inverse_max_depth"],
-                nd, hs, ws,
-            )
+            bounds = (prev["inverse_min_depth"], prev["inverse_max_depth"])
+            hypo = schedule_inverse_range(bounds[0], bounds[1], nd, hs, ws)
         prev = st
-        stages.append((feat, proj, hypo))
+        stages.append((feat, proj, hypo, bounds))
     return stages
 
 
@@ -77,6 +76,10 @@ def main():
 
     from helpers import synthetic_sample
 
+    from mvster_tpu.core.hypothesis import (
+        init_inverse_range,
+        schedule_inverse_range,
+    )
     from mvster_tpu.core.sampling import resize_bilinear_align_corners
     from mvster_tpu.kernels.cost_volume import build_cost_volume
     from mvster_tpu.models import MVS4Net, MVS4NetConfig
@@ -129,8 +132,8 @@ def main():
     jax.block_until_ready(out["depth"])
     stages = stage_inputs(cfg, out, dvals)
     del out  # free the debug volumes; stages holds only feat/proj/hypo
-    t_cv_all = t_reg_all = t_post_all = 0.0
-    for si, (feat, proj, hypo) in enumerate(stages):
+    t_cv_all = t_reg_all = t_post_all = t_hypo_all = 0.0
+    for si, (feat, proj, hypo, bounds) in enumerate(stages):
         g = cfg.group_cor_dim[si]
         nd = cfg.stage_splits[si]
         hs, ws = feat.shape[2], feat.shape[3]
@@ -228,21 +231,41 @@ def main():
 
         t_post = chain_latency(post_fn, logits, hypo, iters=4)
 
+        # hypothesis scheduling (init at stage1, trilinear-resize window
+        # schedule after) — the inter-stage glue the sums previously
+        # attributed to "residual"
+        if bounds is None:
+            def hypo_fn(carry, dv, _):
+                return jnp.mean(
+                    init_inverse_range(dv + 1e-12 * carry, nd, hs, ws)
+                )
+
+            t_hypo = chain_latency(hypo_fn, dvals, dvals, iters=4)
+        else:
+            def hypo_fn(carry, lo, hi):
+                return jnp.mean(
+                    schedule_inverse_range(lo + 1e-12 * carry, hi, nd, hs, ws)
+                )
+
+            t_hypo = chain_latency(hypo_fn, bounds[0], bounds[1], iters=4)
+
         print(
             f"stage{si + 1} ({hs:4d}x{ws:4d} C{feat.shape[-1]:2d} D{nd}): "
             f"cost-volume {t_cv * 1e3:7.2f} ms | reg2d {t_reg * 1e3:7.2f} ms"
-            f" | post {t_post * 1e3:6.2f} ms"
+            f" | post {t_post * 1e3:6.2f} ms | hypo {t_hypo * 1e3:6.2f} ms"
         )
         t_cv_all += t_cv
         t_reg_all += t_reg
         t_post_all += t_post
+        t_hypo_all += t_hypo
         cor = logits = None  # free the stage volume before the next stage
 
-    t_sum = t_fpn + t_cv_all + t_reg_all + t_post_all
+    t_sum = t_fpn + t_cv_all + t_reg_all + t_post_all + t_hypo_all
     print(
         f"\ncomponent sums: fpn {t_fpn * 1e3:.1f} + cost-volume "
         f"{t_cv_all * 1e3:.1f} + reg2d {t_reg_all * 1e3:.1f} + post "
-        f"{t_post_all * 1e3:.1f} = {t_sum * 1e3:.1f} ms "
+        f"{t_post_all * 1e3:.1f} + hypo {t_hypo_all * 1e3:.1f} "
+        f"= {t_sum * 1e3:.1f} ms "
         f"vs full {t_full * 1e3:.1f} ms "
         f"(residual {(t_full - t_sum) * 1e3:+.1f} ms)"
     )

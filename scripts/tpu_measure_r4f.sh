@@ -6,10 +6,10 @@
 set -x
 cd "$(dirname "$0")/.."
 {
-  echo "=== component map, raw f32 (final r4 routing, r4e re-run) ==="
-  timeout 2400 python scripts/bench_components.py 1152 1600
   echo "=== FOLD A/B: mid f32 --fold ==="
   timeout 1800 python scripts/bench_components.py 512 640 --fold
+  echo "=== component map, raw f32 (final r4 routing, r4e re-run) ==="
+  timeout 2400 python scripts/bench_components.py 1152 1600
   echo "=== FOLD A/B: raw f32 --fold ==="
   timeout 2400 python scripts/bench_components.py 1152 1600 --fold
   echo "=== FOLD A/B: raw bf16 --fold ==="
