@@ -171,11 +171,19 @@ def resize_linear_1d(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
-# Measured crossover for the exact-2x bilinear upsample (probe_up.py, TPU
-# v5e f32): einsum wins at 288x400 inputs and below; the W-then-H stencil
-# wins at 576x800 (30.26 vs 48.17 ms).  Route the stencil only at and above
-# the shape where it was measured to win.
-_STENCIL2X_MIN_PIXELS = 576 * 800
+# Exact-2x bilinear upsample routing: einsum EVERYWHERE.  The W-then-H
+# stencil wins isolated at 576x800 inputs (probe_up.py: 30.26 vs einsum
+# 48.17 ms) but LOSES in the compiled model at the same shape — routing it
+# in FPN's /2->/1 regressed the raw f32 FPN block 143.0 -> 171.8 ms and the
+# raw bf16 block 139.9 -> 168.2 (bench_components, TPU v5e, 2026-08-19
+# r4e/r4f windows): XLA fuses the elementwise stencil chain into the
+# consumer convs and the fused subgraph rematerializes the interpolation
+# (the einsum is a dot — materialized once, never fused into a conv input).
+# Same isolated-win/in-model-loss inversion as the s2d conv rewrite
+# (BENCHNOTES.md); an optimization_barrier did not recover it (r4e FPN
+# barrier A/B).  The stencil stays available for measurement via this
+# threshold (probes monkeypatch it); infinity = never routed in production.
+_STENCIL2X_MIN_PIXELS = float("inf")
 
 
 def resize_bilinear_align_corners(
@@ -184,14 +192,15 @@ def resize_bilinear_align_corners(
     """(..., H, W, C) -> (..., out_h, out_w, C), align_corners=True bilinear.
 
     Exact-2x resizes (the FPN top-down pathway, mvs4net_utils.py:419-502)
-    route on the on-chip A/B table from scripts/probe_up.py (TPU v5e,
-    f32, 5 views x 64ch): the dense-matrix einsum wins at every shape up
-    to 288x400 inputs (raw /4->/2: einsum 8.58 ms vs stencil 8.86/10.71),
-    while at 576x800 (raw /2->/1) the W-then-H stencil order wins 30.26 ms
-    vs einsum 48.17.  A Pallas lane kernel for the W interleave measured
-    SLOWER everywhere (raw /2->/1: 76.66 ms) and was deleted — XLA's fused
-    stencil beats a hand kernel because the interleave is bandwidth-bound
-    and the kernel forced an extra relayout at its block boundary.
+    run the dense-matrix einsum at every production shape: it wins the
+    isolated A/B up to 288x400 inputs (probe_up.py: raw /4->/2 einsum
+    8.58 ms vs stencil 8.86/10.71) and, although the W-then-H stencil wins
+    isolated at 576x800 (30.26 vs 48.17 ms), routing the stencil there
+    regressed the whole FPN block in-model (raw f32 143.0 -> 171.8 ms —
+    see _STENCIL2X_MIN_PIXELS above).  A Pallas lane kernel for the W
+    interleave measured SLOWER everywhere (raw /2->/1: 76.66 ms) and was
+    deleted — the interleave is bandwidth-bound and the kernel forced an
+    extra relayout at its block boundary.
     """
     h, w = x.shape[-3], x.shape[-2]
     if h == out_h and w == out_w:

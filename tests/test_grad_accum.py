@@ -166,11 +166,15 @@ def test_accum_update_close_to_full_batch_on_duplicated_samples(setup):
     for p0, a, b in zip(flat0, flat1, flat2):
         da = np.asarray(a - p0).ravel()
         db = np.asarray(b - p0).ravel()
-        denom = np.linalg.norm(da)
-        if denom < 1e-12:  # exactly-zero grads (e.g. softmax-shift bias)
-            assert np.linalg.norm(db) < 1e-8
+        # Leaves with exactly-zero gradient in real arithmetic (the per-stage
+        # prob-conv bias: softmax over depth logits is shift-invariant, and
+        # the WTA argmax passes no gradient) get pure f32-reduction-noise
+        # updates (~1e-10 at lr=1e-2) whose DIRECTION is meaningless under
+        # either program shape, so compare them by noise floor, not ratio.
+        # Real leaf updates are >= ~1e-5 per entry here — 1000x the floor.
+        if max(np.linalg.norm(da), np.linalg.norm(db)) < 1e-8:
             continue
-        rel = np.linalg.norm(da - db) / denom
+        rel = np.linalg.norm(da - db) / np.linalg.norm(da)
         assert rel < 5e-2, (rel, da.shape)
 
 

@@ -1,5 +1,7 @@
 """Pallas fused warp+correlation kernel vs the XLA path (interpret mode)."""
 
+from contextlib import nullcontext
+
 import numpy as np
 import pytest
 
@@ -373,4 +375,37 @@ def test_fused_cost_volume_fallback_repacks(monkeypatch, attn_fuse_d):
     assert int(fb) == 2, "vetoed predicates must count as fallbacks"
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_build_cost_volume_folded_layout_matches(impl):
+    """out_layout='folded' must be a pure relayout of the bdhwc output:
+    (B, D, H, W, G) -> (B, 1, H, W, D*G) with lanes ordered depth-major.
+
+    On impl='pallas' the fused geom path emits folded lanes directly from
+    packed space (fused_cost_volume_geom(folded=True)) — a different
+    transpose route than the explicit bdhwc fold, so the equality is a
+    real check, not a tautology.  This is the layout the folded reg2d
+    (nn/reg.py) consumes when reg2d_fold routes (models/mvs4net.py)."""
+    from mvster_tpu.kernels.cost_volume import build_cost_volume
+
+    sample = plane_scene_sample(7)
+    imgs = jnp.asarray(sample["imgs"])
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+    args = (
+        imgs[:, 0], [imgs[:, 1], imgs[:, 2]],
+        composed[:, 0], [composed[:, 1], composed[:, 2]], hypo,
+    )
+    kw = dict(group_cor=True, group_dim=3, attn_temp=2.0, impl=impl)
+    ctx = pltpu.force_tpu_interpret_mode() if impl == "pallas" else nullcontext()
+    with ctx:
+        bdhwc = build_cost_volume(*args, **kw)
+        folded = build_cost_volume(*args, **kw, out_layout="folded")
+    b, d, h, w, g = bdhwc.shape
+    assert folded.shape == (b, 1, h, w, d * g)
+    expect = jnp.transpose(bdhwc, (0, 2, 3, 1, 4)).reshape(b, 1, h, w, d * g)
+    np.testing.assert_allclose(
+        np.asarray(folded), np.asarray(expect), rtol=1e-6, atol=1e-6
     )
