@@ -78,9 +78,12 @@ class MVS4NetConfig:
     # Folded-depth reg2d eval formulation (nn/reg.py): D folded into the
     # conv lane dimension for the whole U-Net — 4x MXU lane utilization at
     # the late stages.  Checkpoint-compatible by construction; eval-only
-    # (training always runs the standard branch).  Default OFF until the
-    # on-chip A/B blesses it (round-3 lesson: measure before default).
-    reg2d_fold: bool = False
+    # (training always runs the standard branch).  Default ON: the r4f
+    # on-chip A/B (bench_logs/r4f_measure.log, BENCHNOTES.md) measured
+    # mid full-forward 61.9->46.1 ms and raw 534.1->447.5 ms (raw reg2d
+    # 96.7->30.7), with checkpoint-identical trees and numerics asserted
+    # by tests/test_reg_folded.py.
+    reg2d_fold: bool = True
 
     @classmethod
     def dtu_default(cls, **overrides) -> "MVS4NetConfig":

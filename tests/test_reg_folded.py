@@ -140,7 +140,8 @@ def test_full_model_fold_routing_parity():
     projs = {k: jnp.asarray(p) for k, p in s["proj_matrices"].items()}
     dvals = jnp.asarray(s["depth_values"])
 
-    cfg0 = MVS4NetConfig.dtu_default(mono=False, warp_impl="xla")
+    cfg0 = MVS4NetConfig.dtu_default(mono=False, warp_impl="xla",
+                                     reg2d_fold=False)
     m0 = MVS4Net(cfg0)
     m1 = MVS4Net(dataclasses.replace(cfg0, reg2d_fold=True))
     v = m0.init(jax.random.PRNGKey(0), imgs, projs, dvals, train=False)
