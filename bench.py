@@ -105,9 +105,14 @@ def bench_train_step_threaded(batch_size=8, grad_accum=1):
 
     tx = optax.adam(1e-3)
     state = create_train_state(variables, tx)
+    # donate=False: dispatch_chain_latency re-dispatches from the SAME
+    # initial state across its compile/warm/timed runs, so the production
+    # default donate_argnums=(0,) would hand the runtime deleted buffers on
+    # every call after the first — the "TPU backend error (InvalidArgument)"
+    # that blanked the b1/b4/b8 extras in BENCH_r04 (VERDICT r4 weak #2)
     step = make_train_step(
         model, tx, loss_kwargs=dict(inverse_depth=True, ot_iter=10, mono=True),
-        grad_accum=grad_accum,
+        grad_accum=grad_accum, donate=False,
     )
     return dispatch_chain_latency(
         lambda st, bt: step(st, bt)[0], state, batch,

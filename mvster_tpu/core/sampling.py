@@ -219,6 +219,17 @@ def resize_bilinear_align_corners(
     )
 
 
+# The hypothesis-schedule (trilinear) 2x path is gated separately from the
+# bilinear _STENCIL2X_MIN_PIXELS: the hypothesis volume (B, D, H, W) has W
+# on the MINOR (lane) axis — a different interleave than the NHWC feature
+# case that regressed in-model — and its consumer is elementwise cost-
+# volume coords, not a conv XLA could fuse badly into.  Measured in the
+# real consumer (scripts/probe_tri_up.py: schedule_inverse_range at every
+# cascade transition, chained protocol): see BENCHNOTES.md r5 for the
+# recorded A/B.  Probes monkeypatch this to force the einsum arm.
+_TRI_STENCIL2X = True
+
+
 def resize_trilinear_align_corners(
     x: jnp.ndarray, out_d: int, out_h: int, out_w: int
 ) -> jnp.ndarray:
@@ -227,11 +238,11 @@ def resize_trilinear_align_corners(
     Operates on the trailing three axes (no channel axis), which is how the
     reference upsamples depth-hypothesis volumes (mvs4net_utils.py:85,98).
     The cascade's hypothesis upsample doubles H and W each stage; those
-    axes take the 2x stencil path, with the depth axis resized by matmul
-    only when it actually changes.
+    axes take the 2x stencil path (gated by _TRI_STENCIL2X above), with the
+    depth axis resized by matmul only when it actually changes.
     """
     d, h, w = x.shape[-3], x.shape[-2], x.shape[-1]
-    if out_h == 2 * h and out_w == 2 * w:
+    if out_h == 2 * h and out_w == 2 * w and _TRI_STENCIL2X:
         x = resize_linear_1d(x, out_d, axis=-3)
         x = _upsample2x_align_corners_axis(x, -2)
         return _upsample2x_align_corners_axis(x, -1)

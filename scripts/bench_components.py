@@ -140,6 +140,14 @@ def main():
         if cdt != jnp.float32:
             feat = feat.astype(jnp.float32)  # production upcasts for pallas
 
+        # under --fold, measure the PRODUCTION composition: the cost volume
+        # emits the folded (B, 1, H, W, D*G) layout directly (one transpose
+        # from packed space) and the regularizer consumes it input_folded —
+        # timing bdhwc emission + an explicit refold here would charge the
+        # rows for layout glue production never executes (the r4f raw
+        # residual came partly from exactly that mismatch)
+        fold_cv = cfg.reg2d_fold and cfg.agg_type == "ConvBnReLU3D"
+
         def cv_fn(carry, f, hy):
             ref = f[:, 0] + 1e-12 * carry
             srcs = [f[:, i] for i in range(1, f.shape[1])]
@@ -148,6 +156,7 @@ def main():
                 hy, group_cor=cfg.group_cor, group_dim=g,
                 attn_temp=cfg.attn_temp, attn_fuse_d=cfg.attn_fuse_d,
                 impl="pallas",
+                out_layout="folded" if fold_cv else "bdhwc",
             )
             return jnp.mean(cor)
 
@@ -197,20 +206,27 @@ def main():
                 group_cor=cfg.group_cor, group_dim=g,
                 attn_temp=cfg.attn_temp, attn_fuse_d=cfg.attn_fuse_d,
                 impl="xla",
+                out_layout="folded" if fold_cv else "bdhwc",
             )
         )(feat, hypo)
+        reg_kw = dict(input_folded=True, depth=nd) if fold_cv else {}
         reg = Reg2d(cfg.reg_channel, cfg.agg_type, dtype=cdt,
                     fold=cfg.reg2d_fold)
-        rvars = jax.jit(lambda: reg.init(jax.random.PRNGKey(0), cor, False))()
+        rvars = jax.jit(
+            lambda: reg.init(jax.random.PRNGKey(0), cor, False, **reg_kw)
+        )()
 
         def reg_fn(carry, rv, x):
             return jnp.mean(
-                reg.apply(rv, x + 1e-12 * carry, False).astype(jnp.float32)
+                reg.apply(rv, x + 1e-12 * carry, False,
+                          **reg_kw).astype(jnp.float32)
             )
 
         t_reg = chain_latency(reg_fn, rvars, cor, iters=4)
 
-        logits = jax.jit(lambda rv, x: reg.apply(rv, x, False))(rvars, cor)
+        logits = jax.jit(
+            lambda rv, x: reg.apply(rv, x, False, **reg_kw)
+        )(rvars, cor)
         up = 2 ** (3 - si)
 
         def post_fn(carry, lg, hy):

@@ -40,6 +40,7 @@ sys.path.insert(0, "scripts")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -47,6 +48,11 @@ def main():
     ap.add_argument("dims", nargs="*", type=int, metavar="H W [V]")
     ap.add_argument("--stage", type=int, default=4, help="1-based stage")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-vreg rcnt (scan-row count) and nkr "
+                    "(lane-window count) histograms from the real window "
+                    "metadata instead of timing — sizes the in-kernel "
+                    "scan work the timing rows attribute")
     ns = ap.parse_args()
     h, w = (ns.dims[0], ns.dims[1]) if len(ns.dims) >= 2 else (1152, 1600)
     v = ns.dims[2] if len(ns.dims) >= 3 else 5
@@ -77,7 +83,7 @@ def main():
                                    return_debug=True)
     )(variables, imgs)
     jax.block_until_ready(out["depth"])
-    feat, proj, hypo = stage_inputs(cfg, out, dvals)[si]
+    feat, proj, hypo, _ = stage_inputs(cfg, out, dvals)[si]
     del out, variables
     g = cfg.group_cor_dim[si]
     hs, ws = feat.shape[2], feat.shape[3]
@@ -95,6 +101,32 @@ def main():
     if not L["pack"]:
         print("layout is UNPACKED at this stage; this probe targets the "
               "packed fused path — nothing to measure")
+        return
+
+    if ns.stats:
+        dpk_s = jax.jit(lambda hy: pw._pack_depth(hy, L))(hypo)
+        from mvster_tpu.core.geometry import plane_sweep_rt as _psrt
+
+        for vi, sp in enumerate(src_projs):
+            rot, trans = _psrt(sp, ref_proj)
+            xk, yk = jax.jit(
+                lambda d_: pw._packed_plane_sweep(rot, trans, d_, L, ws)
+            )(dpk_s)
+            meta_row, shift, pred = jax.jit(
+                lambda a, b_: pw.window_meta_packed(a, b_, L, hs, ws)
+            )(xk, yk)
+            m = np.asarray(meta_row).reshape(-1)
+            rcnt = m & 0xFF
+            nkr = (m >> 27) & 0x7
+            print(f"view {vi}: pred={bool(pred)} vregs={m.size}  "
+                  f"rcnt mean {rcnt.mean():.2f} p50 "
+                  f"{int(np.percentile(rcnt, 50))} p95 "
+                  f"{int(np.percentile(rcnt, 95))} max {rcnt.max()}  |  "
+                  f"nkr mean {nkr.mean():.2f} "
+                  f"frac>1 {(nkr > 1).mean():.2%} max {nkr.max()}")
+            hist = np.bincount(rcnt, minlength=1)
+            top = ", ".join(f"{i}:{c}" for i, c in enumerate(hist) if c)
+            print(f"        rcnt histogram {{{top}}}")
         return
 
     # --- A. full production fused path

@@ -97,23 +97,37 @@ def main():
             rf, sf, ref_proj, src_projs, hypo, impl="pallas",
             with_fallbacks=True, **kw,
         )
+        # unpacked entry: identical coordinates to the XLA path, so any
+        # drift here is genuine kernel drift (tight 1e-5 bound below)
+        cvu = build_cost_volume(
+            rf, sf, ref_proj, src_projs, hypo, impl="pallas",
+            pallas_coords="unpacked", **kw,
+        )
         cvx = build_cost_volume(
             rf, sf, ref_proj, src_projs, hypo, impl="xla", **kw
         )
-        return jnp.max(jnp.abs(cvp - cvx)), nfb
+        return (jnp.max(jnp.abs(cvp - cvx)), jnp.max(jnp.abs(cvu - cvx)),
+                nfb)
 
-    err, nfb = jax.jit(both)(rf, sf, ref_proj, src_projs, hypo)
+    err, err_u, nfb = jax.jit(both)(rf, sf, ref_proj, src_projs, hypo)
     print(
-        f"on-chip warp parity (stage4 pallas vs xla): max|d| = "
-        f"{float(err):.2e}, fallbacks {int(nfb)}/{v - 1}"
+        f"on-chip warp parity (stage4 pallas vs xla): packed max|d| = "
+        f"{float(err):.2e}, unpacked max|d| = {float(err_u):.2e}, "
+        f"fallbacks {int(nfb)}/{v - 1}"
     )
     assert int(nfb) == 0 or float(err) == 0.0, "parity check did not run the kernel"
-    # Tolerance matches tests/test_pallas_warp.test_build_cost_volume_
-    # packed_coords_matches: the geometry-direct packed entry (the default)
-    # reassociates the coordinate dot products (<= 1e-4 px), which shifts
-    # bilinear weights by the same order — on unit-normal features the
-    # correlation then moves by up to ~1e-3 (measured on-chip 4.7e-4).
+    # Packed tolerance matches tests/test_pallas_warp.test_build_cost_
+    # volume_packed_coords_matches: the geometry-direct packed entry (the
+    # default) reassociates the coordinate dot products (<= 1e-4 px), which
+    # shifts bilinear weights by the same order — on unit-normal features
+    # the correlation then moves by up to ~1e-3 (measured on-chip 4.7e-4).
+    # The unpacked entry shares the XLA path's exact coordinates, so it
+    # keeps the tight bound (measured ~5e-7) and catches genuine kernel
+    # drift the loose packed bound cannot (ADVICE r4).
     assert float(err) <= 2e-3, f"pallas warp diverged from XLA: {float(err)}"
+    assert float(err_u) <= 1e-5, (
+        f"pallas kernel (unpacked coords) diverged from XLA: {float(err_u)}"
+    )
     print("OK")
 
 

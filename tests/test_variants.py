@@ -190,3 +190,78 @@ def test_dcn_block_runs():
     out = mod.apply(variables, x)
     assert out.shape == (2, 16, 16, 8)
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo unavailable")
+def test_dcn_oracle_parity():
+    """Modulated deformable conv vs the reference's loadable pure-PyTorch
+    DeformConv2d (mvs4net_utils.py:267-401) with converted weights and
+    RANDOMIZED (non-zero) offset/modulation branches, so the gather math —
+    not just the plain-conv degenerate case — is what's compared.
+
+    Border note: the two implementations clamp differently when a sample
+    falls outside the zero-padded input (the reference's independently
+    clamped corner taps can double-weight the border texel; ours uses
+    standard clamped bilinear).  Every such tap reads the ZERO padding, so
+    the discrepancy multiplies zeros and outputs still agree exactly.
+    """
+    from models.mvs4net_utils import DeformConv2d as TorchDCN
+
+    from mvster_tpu.nn.dcn import DeformConv2d
+
+    rng = np.random.default_rng(0)
+    b, h, w, c, outc, ks = 2, 12, 14, 8, 6, 3
+    n = ks * ks
+    x = rng.normal(size=(b, h, w, c)).astype(np.float32)
+
+    torch.manual_seed(0)
+    tmod = TorchDCN(c, outc, kernel_size=ks, padding=1, stride=1,
+                    modulation=True)
+    # the offset/modulation convs are zero-initialized (identity
+    # deformation) — randomize them so offsets of ~O(1) px exercise the
+    # bilinear gather; keep them moderate so most samples stay interior
+    with torch.no_grad():
+        tmod.p_conv.weight.normal_(0.0, 0.3)
+        tmod.p_conv.bias.normal_(0.0, 0.5)
+        tmod.m_conv.weight.normal_(0.0, 0.3)
+        tmod.m_conv.bias.normal_(0.0, 0.5)
+    tmod.eval()
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+
+    # manual weight conversion:
+    #   p_conv/m_conv: torch (O, I, kh, kw) -> flax (kh, kw, I, O); the
+    #     reference's offset channel split [dy x n | dx x n] matches ours
+    #   main kernel: the reference applies a ks-strided Conv2d over taps
+    #     laid out row-major (tap index = ki*ks + kj), so torch weight
+    #     (O, C, ki, kj) -> our einsum kernel (n, C, O) at n = ki*ks + kj;
+    #     bias=None in the reference -> use_bias=False here
+    tw = {k: v.numpy() for k, v in tmod.state_dict().items()}
+    kernel = np.transpose(
+        tw["conv.weight"].reshape(outc, c, n), (2, 1, 0)
+    ).copy()  # (n, C, O); reshape flattens (ki, kj) row-major = tap order
+    variables = {
+        "params": {
+            "p_conv": {
+                "kernel": jnp.asarray(
+                    tw["p_conv.weight"].transpose(2, 3, 1, 0)
+                ),
+                "bias": jnp.asarray(tw["p_conv.bias"]),
+            },
+            "m_conv": {
+                "kernel": jnp.asarray(
+                    tw["m_conv.weight"].transpose(2, 3, 1, 0)
+                ),
+                "bias": jnp.asarray(tw["m_conv.bias"]),
+            },
+            "kernel": jnp.asarray(kernel),
+        }
+    }
+    ours = DeformConv2d(outc, kernel_size=ks).apply(
+        variables, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours),
+        ref.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4,
+    )
