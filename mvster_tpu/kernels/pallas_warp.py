@@ -83,6 +83,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 PADX = 128          # left/right lane margin on the padded source
+# scan rows gathered per loop trip: the row scan is latency-bound (a
+# serialized slice -> gather -> FMA chain per trip), so wide trips
+# amortize it — the per-vreg gather micro-ops inside one
+# (SCAN_R*cp, LANE) take_along_axis pipeline, unlike successive trips.
+# Rows past a vreg's span are zero-weighted by construction, so the only
+# cost of width is wasted gather lanes on small spans.  On-chip A/B at
+# raw stage4 (probe_cv_fused, real cascade geometry, 2026-08-19): R=2
+# 35.8 ms/view, R=8 16.65 ms/view (2.15x — confirming the scan is
+# latency-bound: the earlier pure op-count trim moved it only
+# 37.1 -> 35.8).  R=16 is VMEM-infeasible at raw stage1 (C=64: the 15
+# spare scratch rows push the scoped allocation to 18.02M > 16M).
+SCAN_R = 8
 # scratch budget for the source row window (VMEM is ~16 MB/core; the other
 # kernel buffers — ref/coords/out blocks, the acc scratch — total < 2 MB).
 # Calls whose 2-band minimum window exceeds this fall back to XLA.
@@ -120,7 +132,12 @@ def _window_bands(cp: int, wp: int, b2: int, nb: int, w: int) -> int:
     row drift, and the packed depth spread.  The round-2 fixed tiers
     (8/6/4 bands) made even a 10deg-azimuth + 5deg-elevation DTU rig fall
     back at raw stage 4 — the most expensive stage."""
-    budget = MAX_FEATURE_BYTES // (b2 * cp * wp * 4)
+    # the SCAN_R - 1 zeroed spare rows live in the same scratch buffer —
+    # omitting them from the budget OOM'd scoped VMEM at raw stage1
+    # (C=64) when SCAN_R grew past the old slack
+    budget = (
+        MAX_FEATURE_BYTES - (SCAN_R - 1) * cp * wp * 4
+    ) // (b2 * cp * wp * 4)
     tilt = -(-(int(0.15 * w) + 2 * b2 + 32) // b2)
     return max(2, min(nb + 2, budget, tilt))
 
@@ -189,7 +206,7 @@ def pallas_warp_supported(src_feat: jnp.ndarray) -> bool:
     cp = -(-c // 8) * 8
     wp = -(-w // LANE) * LANE + 2 * PADX
     winb = _window_bands(cp, wp, b2, h // b2, w)
-    scratch_bytes = winb * b2 * cp * wp * 4
+    scratch_bytes = (winb * b2 + SCAN_R - 1) * cp * wp * 4
     return scratch_bytes <= MAX_FEATURE_BYTES
 
 
@@ -208,9 +225,15 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
 
     @pl.when(j == 0)
     def _fetch_band():
+        # the spare rows past the window are read (zero-weighted) by the
+        # last trip's overrun rows when pb + rcnt approaches winb*b2;
+        # they must hold ZEROS, not stale VMEM (0 * NaN = NaN)
+        scratch[winb * b2:winb * b2 + SCAN_R - 1, :, :] = jnp.zeros(
+            (SCAN_R - 1, cp, scratch.shape[2]), jnp.float32
+        )
         dma = pltpu.make_async_copy(
             src_hbm.at[b, pl.ds(k * b2 + b2 + shift, winb * b2)],
-            scratch, sem,
+            scratch.at[pl.ds(0, winb * b2)], sem,
         )
         dma.start()
         dma.wait()
@@ -233,86 +256,122 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
             xb = pl.multiple_of(((word >> 22) & 0x1F) * LANE, LANE)
             pb = (word >> 8) & 0x3FFF      # first scan row, window coords
             rcnt = word & 0xFF
-            x = x_ref[0, d_i, pl.ds(i, 1), :]          # (1, 128)
-            y = y_ref[0, d_i, pl.ds(i, 1), :]
-            x0f = jnp.floor(x)
-            y0f = jnp.floor(y)
-            wx = x - x0f
-            wy = y - y0f
-            x0i = x0f.astype(jnp.int32)
-            y0i = y0f.astype(jnp.int32)
-            vx0 = ((x0i >= 0) & (x0i < w_real)).astype(jnp.float32)
-            vx1 = ((x0i + 1 >= 0) & (x0i + 1 < w_real)).astype(jnp.float32)
-            vy0 = ((y0i >= 0) & (y0i < h_real)).astype(jnp.float32)
-            vy1 = ((y0i + 1 >= 0) & (y0i + 1 < h_real)).astype(jnp.float32)
-            w_y0 = (1.0 - wy) * vy0
-            w_y1 = wy * vy1
-            # source row indices relative to the window origin (row 0 of
-            # the scratch window is original row k*b2 + shift)
-            y0_rel = y0i - k * b2 - shift
 
-            rx0 = x0i + PADX - xb  # window-relative x0 tap index
-            w_x0 = (1.0 - wx) * vx0
-            w_x1 = wx * vx1
-            # shared modular gather indices: the tap at window column rx
-            # lives in vreg rx >> 7 at lane rx & 127, so one broadcast index
-            # per tap serves every unrolled window and membership is a
-            # single compare (replaces per-window index prep + range masks;
-            # negative/out-of-window rx yield k_of outside [0, nkr) and drop)
-            k_of0 = rx0 >> 7
-            k_of1 = (rx0 + 1) >> 7
-            ixm0 = jnp.broadcast_to(rx0 & (LANE - 1), (cp, LANE))
-            ixm1 = jnp.broadcast_to((rx0 + 1) & (LANE - 1), (cp, LANE))
+            def dead(_):
+                # fully out-of-image vregs (~14% at raw stage4,
+                # probe_cv_fused --stats) skip the weight prep too
+                return jnp.zeros((cp, LANE), jnp.float32)
 
-            def variant(nwin):
-                # one statically-unrolled scan loop per lane-window count;
-                # nkr selects a variant below, so a vreg whose x-span fits
-                # one window gathers one (a dynamic fori_loop over the
-                # count measured ~2x SLOWER — Mosaic lowers per-iteration
-                # dynamic lane-slices poorly)
-                def scan_row(row_scr, w_row, acc_w):
-                    tile_n = scratch[
-                        pl.ds(row_scr, 1), :, pl.ds(xb, nwin * LANE)
-                    ].reshape(cp, nwin * LANE)
-                    a0 = w_row * w_x0
-                    a1 = w_row * w_x1
-                    for k3 in range(nwin):
-                        tile = tile_n[:, k3 * LANE:(k3 + 1) * LANE]
-                        g0 = jnp.take_along_axis(tile, ixm0, axis=1)
-                        g1 = jnp.take_along_axis(tile, ixm1, axis=1)
-                        w0 = a0 * (k_of0 == k3).astype(jnp.float32)
-                        w1 = a1 * (k_of1 == k3).astype(jnp.float32)
-                        acc_w = acc_w + g0 * w0 + g1 * w1
-                    return acc_w
+            def alive(_):
+                x = x_ref[0, d_i, pl.ds(i, 1), :]          # (1, 128)
+                y = y_ref[0, d_i, pl.ds(i, 1), :]
+                x0f = jnp.floor(x)
+                y0f = jnp.floor(y)
+                wx = x - x0f
+                wy = y - y0f
+                x0i = x0f.astype(jnp.int32)
+                y0i = y0f.astype(jnp.int32)
+                vx0 = ((x0i >= 0) & (x0i < w_real)).astype(jnp.float32)
+                vx1 = ((x0i + 1 >= 0) &
+                       (x0i + 1 < w_real)).astype(jnp.float32)
+                vy0 = ((y0i >= 0) & (y0i < h_real)).astype(jnp.float32)
+                vy1 = ((y0i + 1 >= 0) &
+                       (y0i + 1 < h_real)).astype(jnp.float32)
+                w_y0 = (1.0 - wy) * vy0
+                w_y1 = wy * vy1
+                # source row indices relative to the window origin (row 0
+                # of the scratch window is original row k*b2 + shift)
+                y0_rel = y0i - k * b2 - shift
 
-                def r_body(r, acc_w):
-                    # two scan rows per trip: halves loop overhead; the
-                    # extra row is masked out when rcnt is odd
-                    for rr in range(2):
-                        rs = 2 * r + rr
-                        row_scr = jnp.clip(pb + rs, 0, winb * b2 - 1)
-                        m0 = (y0_rel == row_scr).astype(jnp.float32)
-                        m1 = (y0_rel + 1 == row_scr).astype(jnp.float32)
-                        live = (rs < rcnt).astype(jnp.float32)
-                        w_row = (m0 * w_y0 + m1 * w_y1) * live  # (1, 128)
-                        acc_w = scan_row(row_scr, w_row, acc_w)
-                    return acc_w
+                rx0 = x0i + PADX - xb  # window-relative x0 tap index
+                w_x0 = (1.0 - wx) * vx0
+                w_x1 = wx * vx1
+                # shared modular gather indices: the tap at window column
+                # rx lives in vreg rx >> 7 at lane rx & 127, so one
+                # broadcast index per tap serves every unrolled window and
+                # membership is a single compare (negative/out-of-window
+                # rx yield k_of outside [0, nkr) and drop).  The indices
+                # span 2*cp sublanes so ONE gather per tap serves both
+                # scan rows of a trip.
+                k_of0 = rx0 >> 7
+                k_of1 = (rx0 + 1) >> 7
+                ixm0 = jnp.broadcast_to(
+                    rx0 & (LANE - 1), (SCAN_R * cp, LANE)
+                )
+                ixm1 = jnp.broadcast_to(
+                    (rx0 + 1) & (LANE - 1), (SCAN_R * cp, LANE)
+                )
 
-                def run(_):
-                    return jax.lax.fori_loop(
-                        0, (rcnt + 1) // 2, r_body,
-                        jnp.zeros((cp, LANE), jnp.float32),
-                    )
+                def variant(nwin):
+                    # one statically-unrolled scan loop per lane-window
+                    # count; nkr selects a variant below, so a vreg whose
+                    # x-span fits one window gathers one (a dynamic
+                    # fori_loop over the count measured ~2x SLOWER —
+                    # Mosaic lowers per-iteration dynamic lane-slices
+                    # poorly).  The per-window masked x-weights are
+                    # row-invariant and hoisted out of the scan.
+                    u0 = [w_x0 * (k_of0 == k3).astype(jnp.float32)
+                          for k3 in range(nwin)]
+                    u1 = [w_x1 * (k_of1 == k3).astype(jnp.float32)
+                          for k3 in range(nwin)]
 
-                return run
+                    def r_body(r, acc_w):
+                        # SCAN_R adjacent scan rows per trip: ONE slice
+                        # and ONE gather per tap over a (SCAN_R*cp, lanes)
+                        # tile.  The scan is LATENCY-bound, not
+                        # throughput-bound (stripping ~40% of its vector
+                        # ops moved raw s4 only 37.1 -> 35.8 ms/view):
+                        # each loop trip pays a serialized
+                        # slice -> gather -> FMA chain, so amortizing it
+                        # over more rows is the lever — the per-vreg
+                        # micro-ops inside one wide gather pipeline.
+                        # No clip or liveness mask needed: rows
+                        # [pb, pb + rcnt) hold the span's data, rows past
+                        # it match no y0_rel (rcnt = span + 2), and
+                        # overrun rows are either real data
+                        # (zero-weighted) or the zeroed spare rows at
+                        # winb*b2.
+                        row0 = pb + SCAN_R * r
+                        tiler = scratch[
+                            pl.ds(row0, SCAN_R), :, pl.ds(xb, nwin * LANE)
+                        ].reshape(SCAN_R * cp, nwin * LANE)
+                        # per-row y-weights: the y1 tap of row t is the
+                        # y0 tap of row t+1, so one compare per row
+                        w_rs = []
+                        m_prev = (y0_rel + 1 == row0).astype(jnp.float32)
+                        for t in range(SCAN_R):
+                            m_t = (y0_rel == row0 + t).astype(jnp.float32)
+                            w_rs.append(m_t * w_y0 + m_prev * w_y1)
+                            m_prev = m_t
+                        for k3 in range(nwin):
+                            tile = tiler[:, k3 * LANE:(k3 + 1) * LANE]
+                            g0 = jnp.take_along_axis(tile, ixm0, axis=1)
+                            g1 = jnp.take_along_axis(tile, ixm1, axis=1)
+                            t0 = g0[:cp] * w_rs[0]
+                            t1 = g1[:cp] * w_rs[0]
+                            for t in range(1, SCAN_R):
+                                t0 = t0 + g0[t * cp:(t + 1) * cp] * w_rs[t]
+                                t1 = t1 + g1[t * cp:(t + 1) * cp] * w_rs[t]
+                            acc_w = acc_w + t0 * u0[k3] + t1 * u1[k3]
+                        return acc_w
 
-            warped = jax.lax.cond(
-                nkr <= 1, variant(1),
-                lambda o: jax.lax.cond(
-                    nkr == 2, variant(2), variant(min(3, nk)), o
-                ),
-                0,
-            )
+                    def run(_):
+                        return jax.lax.fori_loop(
+                            0, (rcnt + SCAN_R - 1) // SCAN_R, r_body,
+                            jnp.zeros((cp, LANE), jnp.float32),
+                        )
+
+                    return run
+
+                return jax.lax.cond(
+                    nkr <= 1, variant(1),
+                    lambda o: jax.lax.cond(
+                        nkr == 2, variant(2), variant(min(3, nk)), o
+                    ),
+                    0,
+                )
+
+            warped = jax.lax.cond(rcnt == 0, dead, alive, 0)
             if fuse_cor:
                 acc[pl.ds(i, 1)] = warped.reshape(1, cp, LANE)
             else:
@@ -381,7 +440,9 @@ def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((winb * b2, cp, wp), jnp.float32),
+            # + SCAN_R - 1: zeroed spare rows read (zero-weighted) by the
+            # last trip's overrun when a vreg's scan ends at the window
+            pltpu.VMEM((winb * b2 + SCAN_R - 1, cp, wp), jnp.float32),
             pltpu.VMEM((nvr, cp, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],

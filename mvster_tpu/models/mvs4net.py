@@ -84,6 +84,14 @@ class MVS4NetConfig:
     # 96.7->30.7), with checkpoint-identical trees and numerics asserted
     # by tests/test_reg_folded.py.
     reg2d_fold: bool = True
+    # Eval-only algebraic composition of the FPN's last-level tail
+    # (out4 distributed over up + inner3, nn/fpn.py:_composed_tail):
+    # checkpoint-identical params, training keeps the standard branch.
+    # Default ON: the r5a on-chip A/B (BENCHNOTES.md) measured raw FPN
+    # 144.0 -> 91.9 ms (full forward 315.1 -> 257.8) and mid FPN
+    # 18.9 -> 11.7 (full 39.1 -> 31.8) with the "hconv" formulation.
+    fpn_compose: bool = True
+    fpn_compose_mode: str = "hconv"  # "hconv" | "up", nn/fpn._composed_tail
 
     @classmethod
     def dtu_default(cls, **overrides) -> "MVS4NetConfig":
@@ -133,7 +141,10 @@ class MVS4Net(nn.Module):
         # --- feature extraction: fold views into batch for one big conv batch
         if cfg.arch_mode == "fpn":
             backbone = FPN4(cfg.fpn_base_channel, dcn=cfg.dcn,
-                            dtype=compute_dtype, name="feature")
+                            dtype=compute_dtype,
+                            compose_tail=cfg.fpn_compose,
+                            compose_mode=cfg.fpn_compose_mode,
+                            name="feature")
         elif cfg.arch_mode == "convnext":
             backbone = FPN4ConvNeXt(cfg.fpn_base_channel, dcn=cfg.dcn, name="feature")
         elif cfg.arch_mode == "convnext4":

@@ -25,6 +25,136 @@ from mvster_tpu.nn.blocks import ConvBlock2d
 from mvster_tpu.nn.dcn import DeformConvBlock
 
 
+class _ConvParams(nn.Module):
+    """Declare params identical to an nn.Conv's (same names, shapes,
+    initializers, RNG fold) WITHOUT applying the convolution — the
+    composed-tail eval branch below consumes the raw kernels.  Same
+    param-mirror pattern as nn/reg.py's folded branch: route by flag with
+    a checkpoint-identical tree (tests/test_fpn_compose.py)."""
+
+    features: int
+    kernel_size: tuple
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            tuple(self.kernel_size) + (in_features, self.features),
+        )
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _conv_up_hconv(intra, k4, dtype):
+    """conv3x3(up2x_align_corners(intra); k4) WITHOUT materializing the
+    full-resolution 64-channel upsampled tensor.
+
+    upW commutes with convH (different axes), so with up = upH ∘ upW and
+    conv3x3 = sum_kx shiftW_kx ∘ convH(k4[:, kx]):
+
+        conv3x3(up(x)) = sum_kx shiftW_kx( upW( convH_3x1(upH(x); k4[:,kx]) ) )
+
+    which is computed as: (1) H-only einsum upsample (a matmul on the
+    MAJOR axis — cheap, unlike the W interleave), (2) ONE 3x1 conv at
+    half width with the kx taps stacked into 3*b output channels (3x the
+    MXU lane utilization of the b-channel full-res conv), (3) a W-axis
+    interp gather + shift + border mask per kx on the b-channel output.
+    Exact up to f32 reassociation.
+    """
+    from mvster_tpu.core.sampling import _interp_matrix
+
+    b_, h2, w2, ci = intra.shape
+    hh, ww = 2 * h2, 2 * w2
+    co = k4.shape[-1]
+    # 1. H-only align-corners upsample via the interp matrix (the matmul
+    # form — materialized once, never fused into the conv input; the
+    # stencil form rematerializes inside consumer convs, BENCHNOTES r4e)
+    mat = _interp_matrix(intra.dtype, h2, hh)  # (hh, h2)
+    xh = jnp.einsum("yh,bhwc->bywc", mat, intra,
+                    precision=jax.lax.Precision.HIGHEST)
+    # 2. H-conv 3x1, ci -> 3*co (kx taps stacked along output channels)
+    kz = jnp.transpose(k4, (0, 2, 1, 3)).reshape(3, 1, ci, 3 * co)
+    z = jax.lax.conv_general_dilated(
+        xh, kz, (1, 1), [(1, 1), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, hh, w2, 3*co)
+    # 3. W interp + kx shift + zero-pad border mask on the co-channel
+    # output.  align-corners: src = i * (w2-1) / (ww-1).
+    pos = jnp.arange(ww, dtype=jnp.float32) * ((w2 - 1.0) / (ww - 1.0))
+    fi = jnp.floor(pos).astype(jnp.int32)
+    alpha = pos - jnp.floor(pos)
+    out = None
+    for kx in range(3):
+        j = jnp.arange(ww) + (kx - 1)          # full-res source column
+        valid = ((j >= 0) & (j < ww)).astype(dtype)
+        jc = jnp.clip(j, 0, ww - 1)
+        f_k = fi[jc]
+        a_k = alpha[jc].astype(dtype)
+        w1 = a_k * valid
+        w0 = (1.0 - a_k) * valid
+        zk = jax.lax.dynamic_slice_in_dim(z, kx * co, co, axis=3)
+        g0 = jnp.take(zk, f_k, axis=2)
+        g1 = jnp.take(zk, jnp.minimum(f_k + 1, w2 - 1), axis=2)
+        t = g0 * w0[:, None] + g1 * w1[:, None]
+        out = t if out is None else out + t
+    return out
+
+
+def _composed_tail(intra, e, w3, b3, k4, dtype, up, mode="hconv"):
+    """out4(up(intra) + inner3(e)) with the full-resolution 64-channel
+    intermediate algebraically folded away.
+
+    The reference tail (mvs4net_utils.py:488-489) adds a 1x1-conv lateral
+    (inner3) to the upsampled top-down feature and applies a 3x3 no-bias
+    conv (out4).  Both are linear and SAME zero padding commutes with +,
+    so out4 distributes over the sum:
+
+        out4(up + inner3(e)) = conv3x3(up(x); k4)        (see _conv_up_hconv)
+                             + conv3x3(e; w3 @ k4)       (composed weights)
+                             + border_bias               (inner3's bias)
+
+    The composed conv is ci->b directly (8->8 at full res) instead of the
+    full-res 1x1 ci->64 + 64-channel add + 64->b conv — the 64-channel
+    (H, W) intermediate never exists.  inner3's bias passes through out4
+    as a constant EXCEPT where out4's zero padding clips it, which is the
+    separable border map computed from the two 0/1 tap-validity vectors.
+    Exact up to f32 reassociation.
+
+    mode: "hconv" computes the conv-of-upsample term via _conv_up_hconv
+    (no full-res 64-channel tensor at all); "up" materializes up(intra)
+    and convolves it (the v1 formulation, kept for the measured A/B).
+    """
+    if mode == "hconv":
+        t1 = _conv_up_hconv(intra, k4, dtype)
+        hh, ww = 2 * intra.shape[1], 2 * intra.shape[2]
+    else:
+        intra_up = up(intra)
+        t1 = jax.lax.conv_general_dilated(
+            intra_up, k4, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        hh, ww = intra_up.shape[1], intra_up.shape[2]
+    k_eff = jnp.einsum("im,yxmo->yxio", w3[0, 0], k4)
+    t2 = jax.lax.conv_general_dilated(
+        e.astype(dtype), k_eff, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    p = jnp.einsum("m,yxmo->yxo", b3.astype(dtype), k4)  # (3, 3, b)
+    ar_y = jnp.arange(hh)
+    ar_x = jnp.arange(ww)
+    iy = jnp.stack(
+        [ar_y >= 1, jnp.full((hh,), True), ar_y <= hh - 2], 1
+    ).astype(dtype)
+    ix = jnp.stack(
+        [ar_x >= 1, jnp.full((ww,), True), ar_x <= ww - 2], 1
+    ).astype(dtype)
+    bias_map = jnp.einsum("yk,xl,klo->yxo", iy, ix, p)
+    return t1 + t2 + bias_map[None]
+
+
 class FPN4(nn.Module):
     """4-level FPN: strided encoder + lateral 1x1 + align-corners top-down.
 
@@ -36,6 +166,10 @@ class FPN4(nn.Module):
     gn: bool = False
     dcn: bool = False
     dtype: Any = None  # compute dtype for convs (None = float32)
+    # eval-only routing of the LAST pyramid level through _composed_tail
+    # (checkpoint-identical params; training keeps the standard branch)
+    compose_tail: bool = False
+    compose_mode: str = "hconv"  # "hconv" | "up" — see _composed_tail
 
     @property
     def out_channels(self):
@@ -81,10 +215,22 @@ class FPN4(nn.Module):
         out3 = nn.Conv(2 * b, (3, 3), padding=1, use_bias=False, dtype=dtype,
                        name="out3")(intra)
 
-        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, dtype=dtype,
-                                    name="inner3")(conv0)
-        out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False, dtype=dtype,
-                       name="out4")(intra)
+        if self.compose_tail and not train:
+            # the /1-resolution intra feeds ONLY out4 (unlike the other
+            # levels, whose intra is the next level's upsample input), so
+            # it can be folded away entirely — see _composed_tail
+            w3, b3 = _ConvParams(final, (1, 1), use_bias=True,
+                                 name="inner3")(conv0.shape[-1])
+            k4, _ = _ConvParams(b, (3, 3), name="out4")(final)
+            out4 = _composed_tail(
+                intra, conv0, w3.astype(dtype), b3, k4.astype(dtype),
+                dtype, up, mode=self.compose_mode,
+            )
+        else:
+            intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True,
+                                        dtype=dtype, name="inner3")(conv0)
+            out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False, dtype=dtype,
+                           name="out4")(intra)
 
         if self.dcn:
             out1 = DeformConvBlock(8 * b, gn=gn, name="dcn1")(out1, train)

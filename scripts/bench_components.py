@@ -64,6 +64,16 @@ def main():
                     help="route reg2d through the folded-depth eval "
                     "formulation (nn/reg.py) — the A/B for its routing "
                     "default; affects the full forward AND the reg2d rows")
+    ap.add_argument("--fpn-compose", action="store_true",
+                    help="route the FPN last-level tail through the "
+                    "composed formulation (nn/fpn.py:_composed_tail) — "
+                    "the A/B for its routing default; affects the full "
+                    "forward AND the fpn row")
+    ap.add_argument("--fpn-compose-mode", default="hconv",
+                    choices=["hconv", "up"],
+                    help="composed-tail variant: 'hconv' avoids the "
+                    "full-res 64ch tensor entirely (H-up + 3x1 conv + "
+                    "W-gather); 'up' materializes up(x) and convolves it")
     ap.add_argument("--rp-sweep", action="store_true",
                     help="per stage, also time the Pallas cost volume with "
                     "the row-pack layout pinned to rp=1/2/4 on the REAL "
@@ -88,7 +98,9 @@ def main():
     from mvster_tpu.utils.profiling import chain_latency
 
     cfg = MVS4NetConfig.dtu_default(mono=False, compute_dtype=dtype,
-                                    reg2d_fold=ns.fold)
+                                    reg2d_fold=ns.fold,
+                                    fpn_compose=ns.fpn_compose,
+                                    fpn_compose_mode=ns.fpn_compose_mode)
     cdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     model = MVS4Net(cfg)
     s = synthetic_sample(0, batch=1, nviews=v, h=h, w=w)
@@ -114,7 +126,9 @@ def main():
           f"{dtype})")
 
     # --- FPN over all V views (one folded conv batch, as production runs it)
-    fpn = FPN4(cfg.fpn_base_channel, dcn=cfg.dcn, dtype=cdt)
+    fpn = FPN4(cfg.fpn_base_channel, dcn=cfg.dcn, dtype=cdt,
+               compose_tail=cfg.fpn_compose,
+               compose_mode=cfg.fpn_compose_mode)
     flat = imgs.reshape(v, h, w, 3)
     fvars = jax.jit(lambda: fpn.init(jax.random.PRNGKey(0), flat, False))()
 

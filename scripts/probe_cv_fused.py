@@ -53,6 +53,14 @@ def main():
                     "(lane-window count) histograms from the real window "
                     "metadata instead of timing — sizes the in-kernel "
                     "scan work the timing rows attribute")
+    ap.add_argument("--layouts", action="store_true",
+                    help="predict the in-kernel scan work (sum of rcnt "
+                    "over vregs) for CANDIDATE lane layouts on the same "
+                    "real geometry: the shipped d-in-lanes packing vs "
+                    "per-depth vregs (d out of lanes) at rp=1/2/4/8 — "
+                    "the --stats histograms showed wide-baseline views' "
+                    "rcnt is dominated by the depth spread across the 4 "
+                    "packed depth lanes, which per-depth vregs avoid")
     ns = ap.parse_args()
     h, w = (ns.dims[0], ns.dims[1]) if len(ns.dims) >= 2 else (1152, 1600)
     v = ns.dims[2] if len(ns.dims) >= 3 else 5
@@ -101,6 +109,56 @@ def main():
     if not L["pack"]:
         print("layout is UNPACKED at this stage; this probe targets the "
               "packed fused path — nothing to measure")
+        return
+
+    if ns.layouts:
+        from mvster_tpu.core.geometry import plane_sweep_coords
+
+        cands = [
+            ("d-in-lanes (shipped)", L["rp"], L["pc"], True),
+            ("d-out rp1 pc128", 1, 128, False),
+            ("d-out rp2 pc64", 2, 64, False),
+            ("d-out rp4 pc32", 4, 32, False),
+            ("d-out rp8 pc16", 8, 16, False),
+        ]
+        cp, wp = L["cp"], L["wp"]
+        tot = {name: 0.0 for name, *_ in cands}
+        for vi, sp in enumerate(src_projs):
+            x, y = jax.jit(plane_sweep_coords)(sp, ref_proj, hypo)
+            print(f"view {vi}:")
+            for name, rp, pc, share in cands:
+                b2 = (8 * rp if rp > 1 else pw._band_rows(hs)) if not share \
+                    else L["b2"]
+                if b2 == 0 or hs % b2 or (share and pc * rp * d != 128) or \
+                        (not share and pc * rp != 128):
+                    print(f"  {name:24s} layout infeasible (b2={b2})")
+                    continue
+                winb = pw._window_bands(cp, wp, b2, hs // b2, ws)
+                nk = min(pw._nk(cp), wp // 128)
+                wo = -(-ws // pc) * pc
+                xq, yq = x, y
+                if wo != ws:
+                    padw = ((0, 0),) * 3 + ((0, wo - ws),)
+                    xq = jnp.pad(x, padw, mode="edge")
+                    yq = jnp.pad(y, padw, mode="edge")
+                meta, _, pred = pw.window_meta(
+                    xq, yq, hs, ws, b2, winb, nk, wp, rp=rp, pc=pc,
+                    share_d=share,
+                )
+                m = np.asarray(meta).reshape(-1)
+                rcnt = (m & 0xFF).astype(np.int64)
+                nkr = ((m >> 27) & 0x7).astype(np.int64)
+                tot[name] += rcnt.sum()
+                print(f"  {name:24s} pred={str(bool(pred)):5s} "
+                      f"vregs={m.size} winb={winb:2d} "
+                      f"sum(rcnt)={rcnt.sum():8d} mean {rcnt.mean():6.2f} "
+                      f"p95 {int(np.percentile(rcnt, 95)):3d} "
+                      f"max {rcnt.max():3d} | sum(trips)="
+                      f"{((rcnt + 1) // 2).sum():8d} "
+                      f"sum(rcnt*nkr)={(rcnt * nkr).sum():8d}")
+        print("total scan rows across views:")
+        for name, t in tot.items():
+            print(f"  {name:24s} {int(t):9d}")
         return
 
     if ns.stats:
