@@ -225,8 +225,9 @@ def resize_bilinear_align_corners(
 # case that regressed in-model — and its consumer is elementwise cost-
 # volume coords, not a conv XLA could fuse badly into.  Measured in the
 # real consumer (scripts/probe_tri_up.py: schedule_inverse_range at every
-# cascade transition, chained protocol): see BENCHNOTES.md r5 for the
-# recorded A/B.  Probes monkeypatch this to force the einsum arm.
+# cascade transition, chained protocol, v5e 2026-08-19 r5b window):
+# stencil 0.26 ms cascade total vs einsum 1.03 ms at raw — stencil stays
+# routed.  Probes monkeypatch this to force the einsum arm.
 _TRI_STENCIL2X = True
 
 

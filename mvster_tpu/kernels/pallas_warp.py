@@ -53,7 +53,8 @@ primal of grid_sample_zeros_vjp, paired with the Pallas scatter backward
 are stop_gradient'ed), so only the source-feature VJP is needed.
 
 Measured (v5e, f32, batch 1, one source view, chained protocol —
-scripts/bench_warp.py, 2026-08-16; max-err vs XLA <= 5e-7, stage4 bitwise):
+scripts/bench_warp.py, 2026-08-16, the SCAN_R=2-era kernel; max-err vs
+XLA <= 5e-7, stage4 bitwise):
 
     stage               XLA gather   this kernel   speedup
     mid-stage1  64x80      662 us      ~185 us      ~3x (noise-limited)
@@ -65,6 +66,14 @@ scripts/bench_warp.py, 2026-08-16; max-err vs XLA <= 5e-7, stage4 bitwise):
     raw-stage3  576x800  57886 us      4530 us      12.8x
     raw-stage4 1152x1600 185293 us    16870 us      11.0x
     per-view total: mid 31.1 -> 4.4 ms (7x), raw 277.0 -> 26.0 ms (10.6x)
+
+NOTE on that table: the synthetic bench coords are near-translational
+(scan rcnt ~4-5); REAL cascade geometry at raw stage4 scans rcnt ~5-16
+per view and cost 37.1 ms/view on this kernel until the round-5 SCAN_R
+rework amortized the latency-bound trip chain — production raw-s4 is now
+16.65 ms/view (probe_cv_fused, real geometry), i.e. the production row
+matches the old synthetic number with ~2.4x harder scans.  Time is
+linear in the scan-row count (BENCHNOTES.md "the latency-bound scan").
 
 On the bench geometry (tests/helpers.synthetic_sample cameras — stronger
 rotation than real DTU scans) every stage/view of the mid and raw cascades

@@ -146,9 +146,15 @@ class MVS4Net(nn.Module):
                             compose_mode=cfg.fpn_compose_mode,
                             name="feature")
         elif cfg.arch_mode == "convnext":
-            backbone = FPN4ConvNeXt(cfg.fpn_base_channel, dcn=cfg.dcn, name="feature")
+            backbone = FPN4ConvNeXt(cfg.fpn_base_channel, dcn=cfg.dcn,
+                                    compose_tail=cfg.fpn_compose,
+                                    compose_mode=cfg.fpn_compose_mode,
+                                    name="feature")
         elif cfg.arch_mode == "convnext4":
-            backbone = FPN4ConvNeXt4(cfg.fpn_base_channel, dcn=cfg.dcn, name="feature")
+            backbone = FPN4ConvNeXt4(cfg.fpn_base_channel, dcn=cfg.dcn,
+                                     compose_tail=cfg.fpn_compose,
+                                     compose_mode=cfg.fpn_compose_mode,
+                                     name="feature")
         else:
             raise ValueError(f"unknown arch_mode {cfg.arch_mode}")
         flat = imgs.reshape(b * v, h, w, imgs.shape[-1])

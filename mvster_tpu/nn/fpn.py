@@ -306,6 +306,10 @@ class _FPNConvNeXtBase(nn.Module):
     gn: bool = False
     dcn: bool = False
     block_cls: type = ConvNeXtBlock
+    # same eval-only composed last-level tail as FPN4 (measured win there;
+    # identical tail structure here)
+    compose_tail: bool = False
+    compose_mode: str = "hconv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -328,8 +332,19 @@ class _FPNConvNeXtBase(nn.Module):
         out2 = nn.Conv(4 * b, (3, 3), padding=1, use_bias=False, name="out2")(intra)
         intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner2")(conv1)
         out3 = nn.Conv(2 * b, (3, 3), padding=1, use_bias=False, name="out3")(intra)
-        intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True, name="inner3")(conv0)
-        out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False, name="out4")(intra)
+        if self.compose_tail and not train:
+            w3, b3 = _ConvParams(final, (1, 1), use_bias=True,
+                                 name="inner3")(conv0.shape[-1])
+            k4, _ = _ConvParams(b, (3, 3), name="out4")(final)
+            out4 = _composed_tail(
+                intra, conv0, w3, b3, k4, jnp.float32, up,
+                mode=self.compose_mode,
+            )
+        else:
+            intra = up(intra) + nn.Conv(final, (1, 1), use_bias=True,
+                                        name="inner3")(conv0)
+            out4 = nn.Conv(b, (3, 3), padding=1, use_bias=False,
+                           name="out4")(intra)
 
         if self.dcn:
             out1 = DeformConvBlock(8 * b, gn=self.gn, name="dcn1")(out1, train)

@@ -66,6 +66,24 @@ def test_composed_tail_border_bias(mode):
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("cls_name", ["FPN4ConvNeXt", "FPN4ConvNeXt4"])
+def test_composed_tail_convnext_variants(cls_name):
+    """The ConvNeXt FPN variants share the tail structure; same contract."""
+    import mvster_tpu.nn.fpn as fpn_mod
+
+    cls = getattr(fpn_mod, cls_name)
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 48, 3))
+    std = cls(8, compose_tail=False)
+    cmp_ = cls(8, compose_tail=True)
+    v_std = std.init(rng, x, False)
+    v_cmp = cmp_.init(rng, x, False)
+    _trees_equal(v_std, v_cmp)
+    a = np.asarray(std.apply(v_std, x, False)["stage4"])
+    b = np.asarray(cmp_.apply(v_std, x, False)["stage4"])
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
 def test_composed_tail_train_routes_standard():
     """train=True must take the standard branch (BatchNorm-free tail, but
     the routing contract mirrors reg2d_fold: training never composes)."""
