@@ -104,6 +104,9 @@ PADX = 128          # left/right lane margin on the padded source
 # 37.1 -> 35.8).  R=16 is VMEM-infeasible at raw stage1 (C=64: the 15
 # spare scratch rows push the scoped allocation to 18.02M > 16M).
 SCAN_R = 8
+# measurement-only override consulted by _scan_r (scripts/probe_cv_fused.py
+# --scan-r sweep); production leaves it None
+FORCE_SCAN_R = None
 # scratch budget for the source row window (VMEM is ~16 MB/core; the other
 # kernel buffers — ref/coords/out blocks, the acc scratch — total < 2 MB).
 # Calls whose 2-band minimum window exceeds this fall back to XLA.
@@ -128,7 +131,8 @@ def _band_rows(h: int) -> int:
     return 0
 
 
-def _window_bands(cp: int, wp: int, b2: int, nb: int, w: int) -> int:
+def _window_bands(cp: int, wp: int, b2: int, nb: int, w: int,
+                  scan_r: int = SCAN_R) -> int:
     """Source-window height in bands, from the VMEM budget + a geometry
     envelope.  The row-scan loop has a dynamic trip count, so a wider
     window costs VMEM scratch and band-DMA volume, not compute.
@@ -145,10 +149,31 @@ def _window_bands(cp: int, wp: int, b2: int, nb: int, w: int) -> int:
     # omitting them from the budget OOM'd scoped VMEM at raw stage1
     # (C=64) when SCAN_R grew past the old slack
     budget = (
-        MAX_FEATURE_BYTES - (SCAN_R - 1) * cp * wp * 4
+        MAX_FEATURE_BYTES - (scan_r - 1) * cp * wp * 4
     ) // (b2 * cp * wp * 4)
     tilt = -(-(int(0.15 * w) + 2 * b2 + 32) // b2)
     return max(2, min(nb + 2, budget, tilt))
+
+
+def _scan_r(d: int, h: int, cp: int, wp: int, b2: int, nb: int,
+            w: int) -> int:
+    """Per-call scan width.  The row scan is latency-bound, so wider trips
+    amortize the serialized slice -> gather -> FMA chain — but a wider trip
+    also doubles the gather payload, which only pays off where the scan
+    spans are long (raw stage4's wide-baseline views: rcnt mean ~16, vs
+    ~5-6 at mid — probe_cv_fused --stats).  The same shape gate as
+    _row_pack picks the long-span stages; 16 is used only when its extra
+    spare scratch rows leave the window-band budget unchanged (so the
+    fallback envelope and supported() feasibility are identical to the
+    SCAN_R=8 call)."""
+    if FORCE_SCAN_R is not None:
+        return FORCE_SCAN_R
+    if d == 4 and h >= 1152:
+        if _window_bands(cp, wp, b2, nb, w, 16) == _window_bands(
+            cp, wp, b2, nb, w, SCAN_R
+        ):
+            return 16
+    return SCAN_R
 
 
 def _nk(cp: int) -> int:
@@ -215,6 +240,9 @@ def pallas_warp_supported(src_feat: jnp.ndarray) -> bool:
     cp = -(-c // 8) * 8
     wp = -(-w // LANE) * LANE + 2 * PADX
     winb = _window_bands(cp, wp, b2, h // b2, w)
+    # checked at the default scan width: _scan_r widens to 16 only when
+    # the window-band budget is unchanged, which keeps the 16-row scratch
+    # under the same MAX_FEATURE_BYTES (see _window_bands' budget term)
     scratch_bytes = (winb * b2 + SCAN_R - 1) * cp * wp * 4
     return scratch_bytes <= MAX_FEATURE_BYTES
 
@@ -222,7 +250,8 @@ def pallas_warp_supported(src_feat: jnp.ndarray) -> bool:
 def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
                  y_ref, out_ref, scratch, acc, sem, *, b2, winb, nk, d,
                  group_dim, sub, h_real, w_real, nb, nxb, nvr,
-                 fuse_cor=True):
+                 scan_r=SCAN_R, fuse_cor=True):
+    SCAN_R = scan_r  # noqa: N806 — per-call scan width (see _scan_r)
     b = pl.program_id(0)
     k = pl.program_id(1)
     j = pl.program_id(2)
@@ -402,11 +431,11 @@ def _warp_kernel(row_ref, shift_ref, src_hbm, ref_ref, x_ref,
 
 def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
                  group_dim, sub, h, w, nb, nxb, nvr, hp, cp, wp,
-                 interpret=False, fuse_cor=True):
+                 scan_r=SCAN_R, interpret=False, fuse_cor=True):
     kernel = functools.partial(
         _warp_kernel, b2=b2, winb=winb, nk=nk, d=d, group_dim=group_dim,
         sub=sub, h_real=h, w_real=w, nb=nb, nxb=nxb, nvr=nvr,
-        fuse_cor=fuse_cor,
+        scan_r=scan_r, fuse_cor=fuse_cor,
     )
     if fuse_cor:
         out_spec = pl.BlockSpec(
@@ -449,9 +478,9 @@ def _pallas_call(rows, shift, src_p, ref_p, xc, yc, *, b2, winb, nk, d,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            # + SCAN_R - 1: zeroed spare rows read (zero-weighted) by the
+            # + scan_r - 1: zeroed spare rows read (zero-weighted) by the
             # last trip's overrun when a vreg's scan ends at the window
-            pltpu.VMEM((winb * b2 + SCAN_R - 1, cp, wp), jnp.float32),
+            pltpu.VMEM((winb * b2 + scan_r - 1, cp, wp), jnp.float32),
             pltpu.VMEM((nvr, cp, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -637,7 +666,8 @@ def _layout(c: int, d: int, h: int, w: int, rp: int | None = None) -> dict:
     # _window_bands caps at the padded buffer height (nb + 2 bands): a
     # wider window would make the per-band DMA slice unsatisfiable at small
     # images and invert the shift clamp range
-    winb = _window_bands(cp, wp, b2, nb, w)
+    scan_r = _scan_r(d, h, cp, wp, b2, nb, w)
+    winb = _window_bands(cp, wp, b2, nb, w, scan_r)
     # cap the lane window at the padded source width (small images)
     nk = min(_nk(cp), wp // LANE)
     nvr = b2 // rp    # vreg-rows per band
@@ -649,6 +679,7 @@ def _layout(c: int, d: int, h: int, w: int, rp: int | None = None) -> dict:
     return dict(
         d=d, b2=b2, nb=nb, nxb=nxb, wc=wc, wp=wp, pack=pack, pc=pc, wo=wo,
         cp=cp, winb=winb, nk=nk, kd=kd, knxb=knxb, rp=rp, nvr=nvr, hp=hp,
+        scan_r=scan_r,
     )
 
 
@@ -771,7 +802,8 @@ def _run_kernel_raw(src_feat, ref_p, xc, yc, meta_row, shift, L, group_dim,
         meta_row.reshape(-1), shift.reshape(-1), src_p, ref_p, xc, yc,
         b2=b2, winb=winb, nk=nk, d=kd, group_dim=group_dim,
         sub=sub, h=h, w=w, nb=nb, nxb=knxb, nvr=nvr, hp=hp, cp=cp,
-        wp=wp, interpret=interpret, fuse_cor=fuse_cor,
+        wp=wp, scan_r=L.get("scan_r", SCAN_R), interpret=interpret,
+        fuse_cor=fuse_cor,
     )
 
 

@@ -92,6 +92,14 @@ class MVS4NetConfig:
     # 18.9 -> 11.7 (full 39.1 -> 31.8) with the "hconv" formulation.
     fpn_compose: bool = True
     fpn_compose_mode: str = "hconv"  # "hconv" | "up", nn/fpn._composed_tail
+    # Measurement-only hook (scripts/probe_train_bwd.py): stop_gradient
+    # cuts at named subsystem boundaries so the backward pass can be
+    # decomposed by ablation (cotangents past a cut are DCE'd by XLA, so
+    # the latency delta vs no-cuts IS that subsystem's backward cost).
+    # Values: "fpn" | "cost_volume" | "logits" | "mono".  Forward numerics
+    # are unchanged; never set in production (same spirit as the
+    # warp_fallbacks observability output above).
+    sg_cuts: Sequence[str] = ()
 
     @classmethod
     def dtu_default(cls, **overrides) -> "MVS4NetConfig":
@@ -163,6 +171,8 @@ class MVS4Net(nn.Module):
         features = {
             key: val.reshape(b, v, *val.shape[1:]) for key, val in feats_flat.items()
         }
+        if "fpn" in cfg.sg_cuts:
+            features = jax.tree_util.tree_map(jax.lax.stop_gradient, features)
 
         if cfg.asff:
             asff_mods = [ASFF(i, name=f"asff_{i}") for i in range(cfg.num_stage)]
@@ -229,6 +239,10 @@ class MVS4Net(nn.Module):
             mono_depths = MonoDepthDecoder(name="mono_depth_decoder")(
                 mono_feats, depth_values[:, 0], depth_values[:, 1], train
             )
+            if "mono" in cfg.sg_cuts:
+                mono_depths = jax.tree_util.tree_map(
+                    jax.lax.stop_gradient, mono_depths
+                )
             for key, depth in mono_depths.items():
                 outputs[key]["mono_depth"] = depth
 
@@ -274,6 +288,8 @@ class MVS4Net(nn.Module):
             with_fallbacks=True,
             out_layout="folded" if fold_cv else "bdhwc",
         )  # (B, D, H, W, G|C) [folded: (B, 1, H, W, D*G)], int32 scalar
+        if "cost_volume" in cfg.sg_cuts:
+            cor_feats = jax.lax.stop_gradient(cor_feats)
 
         if cfg.pos_enc == 1:
             cor_feats = PosEncSine(name=f"pos_enc_{stage_idx}")(cor_feats, depth_hypo)
@@ -298,6 +314,8 @@ class MVS4Net(nn.Module):
                             depth=depth_hypo.shape[1])  # (B, D, H, W)
         else:
             logits = regnet(cor_feats, train)  # (B, D, H, W)
+        if "logits" in cfg.sg_cuts:
+            logits = jax.lax.stop_gradient(logits)
         attn_weight = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
 
         # winner-take-all depth (reference: gather of argmax,

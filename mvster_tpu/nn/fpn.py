@@ -66,6 +66,10 @@ def _conv_up_hconv(intra, k4, dtype):
     """
     from mvster_tpu.core.sampling import _interp_matrix
 
+    # the /2 intra is f32 (the bilinear-up + lateral-conv sum promotes);
+    # raw lax.conv has no nn.Conv-style auto-cast, so match the kernels'
+    # compute dtype here (same cast nn.Conv applies in the standard branch)
+    intra = intra.astype(dtype)
     b_, h2, w2, ci = intra.shape
     hh, ww = 2 * h2, 2 * w2
     co = k4.shape[-1]
@@ -131,7 +135,7 @@ def _composed_tail(intra, e, w3, b3, k4, dtype, up, mode="hconv"):
         t1 = _conv_up_hconv(intra, k4, dtype)
         hh, ww = 2 * intra.shape[1], 2 * intra.shape[2]
     else:
-        intra_up = up(intra)
+        intra_up = up(intra).astype(dtype)
         t1 = jax.lax.conv_general_dilated(
             intra_up, k4, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -61,6 +61,10 @@ def main():
                     "the --stats histograms showed wide-baseline views' "
                     "rcnt is dominated by the depth spread across the 4 "
                     "packed depth lanes, which per-depth vregs avoid")
+    ap.add_argument("--scan-r", type=int, default=None,
+                    help="pin the kernel scan width (pallas_warp."
+                    "FORCE_SCAN_R) — the A/B knob behind _scan_r's "
+                    "shape gate")
     ns = ap.parse_args()
     h, w = (ns.dims[0], ns.dims[1]) if len(ns.dims) >= 2 else (1152, 1600)
     v = ns.dims[2] if len(ns.dims) >= 3 else 5
@@ -75,6 +79,9 @@ def main():
     from mvster_tpu.kernels.pallas_warp import fused_cost_volume_geom
     from mvster_tpu.models import MVS4Net, MVS4NetConfig
     from mvster_tpu.utils.profiling import chain_latency
+
+    if ns.scan_r is not None:
+        pw.FORCE_SCAN_R = ns.scan_r
 
     cfg = MVS4NetConfig.dtu_default(mono=False)
     model = MVS4Net(cfg)

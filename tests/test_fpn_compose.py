@@ -84,6 +84,22 @@ def test_composed_tail_convnext_variants(cls_name):
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("mode", ["hconv", "up"])
+def test_composed_tail_bfloat16(mode):
+    """bf16 compute mode: raw lax.conv has no nn.Conv auto-cast, so the
+    composed branch must cast its inputs to the kernels' dtype itself (the
+    f32 intra meeting a bf16 kernel crashed the r5c window).  Parity vs the
+    standard bf16 branch at bf16 tolerance."""
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 48, 3))
+    std = FPN4(8, dtype=jnp.bfloat16, compose_tail=False)
+    cmp_ = FPN4(8, dtype=jnp.bfloat16, compose_tail=True, compose_mode=mode)
+    v = std.init(rng, x, False)
+    a = np.asarray(std.apply(v, x, False)["stage4"], np.float32)
+    b = np.asarray(cmp_.apply(v, x, False)["stage4"], np.float32)
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+
+
 def test_composed_tail_train_routes_standard():
     """train=True must take the standard branch (BatchNorm-free tail, but
     the routing contract mirrors reg2d_fold: training never composes)."""

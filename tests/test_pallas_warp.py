@@ -51,6 +51,33 @@ def test_pallas_warp_matches_xla(group_dim):
     )
 
 
+@pytest.mark.parametrize("scan_r", [4, 16])
+def test_pallas_warp_scan_r_variants(monkeypatch, scan_r):
+    """Per-call scan width (_scan_r / FORCE_SCAN_R): numerics must be
+    identical at any width — the spare zero rows absorb trip overrun, so
+    widening only changes the trip schedule.  16 is the raw-stage4 routed
+    width; 4 exercises a sub-default trip count."""
+    from mvster_tpu.kernels import pallas_warp
+    from mvster_tpu.kernels.cost_volume import build_cost_volume
+
+    sample = plane_scene_sample(1)
+    imgs = jnp.asarray(sample["imgs"])
+    composed = compose_projection(jnp.asarray(sample["proj_matrices"]["stage4"]))
+    hypo = init_inverse_range(jnp.asarray(sample["depth_values"]), 4, 64, 64)
+    args = (
+        imgs[:, 0], [imgs[:, 1], imgs[:, 2]],
+        composed[:, 0], [composed[:, 1], composed[:, 2]], hypo,
+    )
+    kw = dict(group_cor=True, group_dim=3, attn_temp=2.0)
+    ref_out = build_cost_volume(*args, **kw, impl="xla")
+    monkeypatch.setattr(pallas_warp, "FORCE_SCAN_R", scan_r)
+    with pltpu.force_tpu_interpret_mode():
+        pls_out = build_cost_volume(*args, **kw, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(pls_out), np.asarray(ref_out), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_pallas_vmem_guard_falls_back_to_xla(monkeypatch):
     """Oversized feature maps must route impl='pallas' through the XLA path
     (round-1 review: pallas_warp_supported was never consulted)."""
