@@ -80,9 +80,6 @@ def main():
     from mvster_tpu.models import MVS4Net, MVS4NetConfig
     from mvster_tpu.utils.profiling import chain_latency
 
-    if ns.scan_r is not None:
-        pw.FORCE_SCAN_R = ns.scan_r
-
     cfg = MVS4NetConfig.dtu_default(mono=False)
     model = MVS4Net(cfg)
     sample = synthetic_sample(0, nviews=v, h=h, w=w)
@@ -100,6 +97,12 @@ def main():
     jax.block_until_ready(out["depth"])
     feat, proj, hypo, _ = stage_inputs(cfg, out, dvals)[si]
     del out, variables
+    if ns.scan_r is not None:
+        # pinned AFTER the setup forward: a global pin would force the
+        # width onto every stage of the cascade above, and 16 is
+        # VMEM-infeasible at C=64 (raw stage1) — only the probed stage's
+        # isolated timing below should see the override
+        pw.FORCE_SCAN_R = ns.scan_r
     g = cfg.group_cor_dim[si]
     hs, ws = feat.shape[2], feat.shape[3]
     d = hypo.shape[1]
