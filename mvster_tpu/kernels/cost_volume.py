@@ -119,6 +119,7 @@ def build_cost_volume(
     force_rp: int | None = None,
     pallas_coords: str = "packed",
     out_layout: str = "bdhwc",
+    sg_warp: bool = False,
 ):
     """Fused multi-view cost volume with online cross-view normalization.
 
@@ -227,6 +228,12 @@ def build_cost_volume(
             warped = warp_src_feature(
                 src_feats[v], src_projs[v], ref_proj, depth_hypo
             )
+            if sg_warp:
+                # measurement-only cut (MVS4NetConfig.sg_cuts "warp"): the
+                # scatter backward and the FPN-via-cv cotangents are DCE'd
+                # while the correlation/attention backward still runs —
+                # separating scatter-bwd from cor-bwd in the train map
+                warped = jax.lax.stop_gradient(warped)
             cor = correlate(warped, ref_feat, group_cor, group_dim)
         w = view_weight(cor, c, attn_temp, attn_fuse_d)
         cor = cor.astype(jnp.float32)

@@ -23,7 +23,12 @@ direction:
     (Mosaic cannot transpose in-kernel cheaply; XLA pre-transposes).
     The scatter across lanes is then one MXU matmul per scanned source
     row: dsrc_rows += (cot_row * row_mask) @ Mx — no lane-scatter op,
-    which Mosaic does not have, is ever needed.
+    which Mosaic does not have, is ever needed.  At C<=8 stages
+    (b2 * cp <= _BAND_MM_ROWS = 128) the source-row loop itself folds
+    into the matmul: one (b2*cp, LANE) @ (LANE, nk*LANE) product per
+    output row computes EVERY band row's contribution at full MXU row
+    utilization, replacing scnt serialized 6%-utilization matmuls and
+    their per-row dynamic read-modify-writes.
   * Row masks replicate the forward's exact per-tap validity and weights,
     so the kernel is the exact mathematical transpose of the forward
     gather (accumulation order differs from XLA's scatter, so gradients
@@ -56,6 +61,13 @@ from mvster_tpu.kernels.pallas_warp import (
 )
 
 _BIAS = 4096
+# Band-matmul row budget: when b2 * cp fits the MXU's 128 rows, the
+# backward folds its source-row loop into one full-utilization matmul
+# per output row (see _scatter_kernel).  128 selects exactly the C<=8
+# stages (raw/mid stage 4) where the per-row matmul wastes 94% of the
+# array; wider stages keep the tight scnt-bounded scan, whose MAC count
+# is b2/scnt (~5x) lower.
+_BAND_MM_ROWS = 128
 
 
 def pallas_scatter_supported(src_shape, dtype) -> bool:
@@ -145,6 +157,42 @@ def _scatter_kernel(rowm_ref, blkm_ref, cot_hbm, x_hbm, y_hbm, out_ref,
                 w_y1 = wy * vy1
 
                 cot_row = cot_s[pl.ds(orow, 1)].reshape(cp, LANE)
+
+                if b2 * cp <= _BAND_MM_ROWS:
+                    # band-matmul: fold the source-row loop into the MXU.
+                    # The per-source-row matmul above runs (cp, LANE) rows
+                    # through the systolic array — 8/128 = 6% row
+                    # utilization at the C=8 stage-4 shapes that dominate
+                    # the train backward — and pays a serialized fori trip
+                    # + dynamic RMW per source row.  When the WHOLE band
+                    # fits the MXU's 128 rows, one (b2*cp, LANE) matmul
+                    # computes every band row's contribution at full
+                    # utilization: the y-tap masks select exactly the taps
+                    # the scan visited (rows outside [src_lo, src_lo+scnt)
+                    # match no tap and add zero), so the sum per output
+                    # element is identical.
+                    srow = k * b2 + jax.lax.broadcasted_iota(
+                        jnp.int32, (b2, LANE), 0
+                    )
+                    ym = (y0i == srow).astype(jnp.float32) * w_y0 + (
+                        y0i + 1 == srow
+                    ).astype(jnp.float32) * w_y1  # (b2, LANE)
+                    v = (ym[:, None, :] * cot_row[None, :, :]).reshape(
+                        b2 * cp, LANE
+                    )
+                    seg = jax.lax.dot_general(
+                        v, mx, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (b2*cp, nk*LANE)
+                    xc = pl.multiple_of(xb, LANE)
+                    cur = out_ref[
+                        0, pl.ds(0, b2), :, pl.ds(xc, nk * LANE)
+                    ].reshape(b2 * cp, nk * LANE)
+                    out_ref[
+                        0, pl.ds(0, b2), :, pl.ds(xc, nk * LANE)
+                    ] = (cur + seg).reshape(b2, cp, nk * LANE)
+                    return 0
 
                 def s_body(r, _):
                     sr_abs = src_lo + r

@@ -98,7 +98,9 @@ class MVS4NetConfig:
     # the latency delta vs no-cuts IS that subsystem's backward cost).
     # Values: "fpn" | "cost_volume" | "logits" | "mono".  Forward numerics
     # are unchanged; never set in production (same spirit as the
-    # warp_fallbacks observability output above).
+    # warp_fallbacks observability output above).  "warp" cuts at the
+    # warped source features INSIDE the per-view loop: scatter bwd +
+    # FPN-via-cv are DCE'd while the correlation/attention bwd still runs.
     sg_cuts: Sequence[str] = ()
 
     @classmethod
@@ -287,6 +289,7 @@ class MVS4Net(nn.Module):
             impl=warp_impl,
             with_fallbacks=True,
             out_layout="folded" if fold_cv else "bdhwc",
+            sg_warp="warp" in cfg.sg_cuts,
         )  # (B, D, H, W, G|C) [folded: (B, 1, H, W, D*G)], int32 scalar
         if "cost_volume" in cfg.sg_cuts:
             cor_feats = jax.lax.stop_gradient(cor_feats)

@@ -114,6 +114,7 @@ def main():
         ("R4 sg mono", dict(cuts=("mono",))),
         ("R5 sg OT value", dict(sg_ot=True)),
         ("R6 ot_backend=pallas", dict(ot_backend="pallas")),
+        ("R7 sg warp", dict(cuts=("warp",))),
     ]
     t = {}
     for name, kw in rows:
@@ -127,6 +128,8 @@ def main():
     print(f"  mono bwd + FPN-via-mono     = R0-R4 = {(t['R0'] - t['R4']) * 1e3:7.1f}")
     print(f"  Sinkhorn-internal bwd       = R3-R5 = {(t['R3'] - t['R5']) * 1e3:7.1f}")
     print(f"  pallas-OT full-step delta   = R0-R6 = {(t['R0'] - t['R6']) * 1e3:7.1f}")
+    print(f"  scatter bwd + FPN-via-cv    = R0-R7 = {(t['R0'] - t['R7']) * 1e3:7.1f}")
+    print(f"  cor/attention bwd           = R7-R2 = {(t['R7'] - t['R2']) * 1e3:7.1f}")
 
 
 if __name__ == "__main__":

@@ -19,8 +19,10 @@ def _coords(D, H, W, slope=0.06):
     return jnp.asarray(x.astype(np.float32)), jnp.asarray(y.astype(np.float32))
 
 
-@pytest.mark.parametrize("C", [3, 8])
+@pytest.mark.parametrize("C", [3, 8, 32])
 def test_scatter_matches_xla_vjp(C):
+    # C=3/8 (cp=8, b2=16) route the band-matmul branch; C=32 routes the
+    # scnt-bounded per-source-row scan (b2*cp = 512 > _BAND_MM_ROWS)
     from mvster_tpu.kernels.pallas_scatter import scatter_grad_pallas
 
     rng = np.random.default_rng(0)
@@ -36,6 +38,30 @@ def test_scatter_matches_xla_vjp(C):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(scatter_grad_pallas(cot, x, y, (B, H, W, C)))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_band_matmul_matches_legacy_scan():
+    """The band-matmul branch computes the identical per-element tap sum
+    as the scnt-bounded scan it folds into the MXU (same contraction over
+    lanes, same o-row accumulation order)."""
+    from mvster_tpu.kernels import pallas_scatter as ps
+
+    rng = np.random.default_rng(2)
+    B, D, H, W, C = 1, 4, 64, 64, 8
+    cot = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    x, y = _coords(D, H, W, slope=0.11)
+
+    orig = ps._BAND_MM_ROWS
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            band = np.asarray(
+                ps.scatter_grad_pallas(cot, x, y, (B, H, W, C)))
+            ps._BAND_MM_ROWS = 0
+            legacy = np.asarray(
+                ps.scatter_grad_pallas(cot, x, y, (B, H, W, C)))
+    finally:
+        ps._BAND_MM_ROWS = orig
+    np.testing.assert_allclose(band, legacy, rtol=1e-6, atol=1e-6)
 
 
 def test_custom_vjp_grad_matches():

@@ -35,10 +35,14 @@ def _grads(model, batch, variables):
             batch["imgs"], batch["proj_matrices"], batch["depth_values"],
             train=True, mutable=["batch_stats"],
         )
+        # Nonzero l1 weight (vs the published pure-OT (0, 1) default) so the
+        # mono L1 term is a REAL gradient contributor — the bypass
+        # assertions below (mono reaches the backbone past the logits cut)
+        # are vacuous under a 0.0 weight.
         loss, _ = mvs4net_loss(
             out, batch["depth"], batch["mask"],
             depth_values=batch["depth_values"],
-            inverse_depth=True, ot_iter=2, mono=True,
+            inverse_depth=True, ot_iter=2, mono=True, l1ot_lw=(0.5, 1.0),
         )
         return loss
 
@@ -87,6 +91,36 @@ def test_fpn_cut_zeroes_backbone_grads_only():
         for x in jax.tree_util.tree_leaves(g_full["feature"])
     )
     assert full_norm > 0.0
+
+
+def test_warp_cut_removes_scatter_path_only():
+    """The "warp" cut stops gradient at the warped SOURCE features inside
+    the per-view loop: the scatter backward is DCE'd, but the backbone
+    still receives gradient through the reference feature (correlate) and
+    the mono decoder — so it must change backbone grads without zeroing
+    them, and leave the forward bitwise identical."""
+    model, batch = _setup(("warp",))
+    base, _ = _setup(())
+    variables = base.init(jax.random.PRNGKey(0), batch["imgs"],
+                          batch["proj_matrices"], batch["depth_values"],
+                          train=True)
+    out_a = base.apply(variables, batch["imgs"], batch["proj_matrices"],
+                       batch["depth_values"], train=False)
+    out_b = model.apply(variables, batch["imgs"], batch["proj_matrices"],
+                        batch["depth_values"], train=False)
+    np.testing.assert_array_equal(np.asarray(out_a["depth"]),
+                                  np.asarray(out_b["depth"]))
+
+    g_cut = _grads(model, batch, variables)
+    g_full = _grads(base, batch, variables)
+    n_cut = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(g_cut["feature"]))
+    n_full = sum(float(jnp.sum(jnp.abs(x)))
+                 for x in jax.tree_util.tree_leaves(g_full["feature"]))
+    assert n_cut > 0.0, "ref/mono paths must still reach the backbone"
+    assert not np.isclose(n_cut, n_full), (
+        "warp cut must remove the source-feature (scatter) contribution"
+    )
 
 
 def test_logits_cut_zeroes_reg_grads():
