@@ -49,7 +49,7 @@ def main():
     from bench_components import stage_inputs
     from helpers import synthetic_sample
 
-    from mvster_tpu.core.geometry import compose_projection, plane_sweep_coords
+    from mvster_tpu.core.geometry import plane_sweep_coords
     from mvster_tpu.kernels import pallas_scatter as ps
     from mvster_tpu.kernels.pallas_scatter import (
         scatter_grad_pallas,
@@ -84,7 +84,7 @@ def main():
     for si, (feat, proj, hypo, _) in enumerate(stages):
         b, nv, hs, ws, c = feat.shape
         d = hypo.shape[1]
-        composed = compose_projection(proj)
+        composed = proj  # debug_proj is ALREADY composed (mvs4net.py:232)
         ref_proj = composed[:, 0]
         coords = [
             plane_sweep_coords(composed[:, i], ref_proj, hypo)
