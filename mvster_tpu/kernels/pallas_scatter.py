@@ -68,6 +68,12 @@ _BIAS = 4096
 # array; wider stages keep the tight scnt-bounded scan, whose MAC count
 # is b2/scnt (~5x) lower.
 _BAND_MM_ROWS = 128
+# Output rows stacked per band-matmul trip.  The per-row trip is
+# latency-bound (measured ~1.9 us/row at mid s4: slice + mask synth +
+# one matmul + a 128 KB RMW, all serialized by the fori carry); stacking
+# OC rows contracts them in ONE (b2*cp, OC*LANE) @ (OC*LANE, nko*LANE)
+# product — identical tap math, OC-fold fewer serialized trips and RMWs.
+_OCHUNK = 8
 
 
 def pallas_scatter_supported(src_shape, dtype) -> bool:
@@ -122,6 +128,156 @@ def _scatter_kernel(rowm_ref, blkm_ref, cot_hbm, x_hbm, y_hbm, out_ref,
                 == jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
             ).astype(jnp.float32)
 
+            def _mx_for(xrow, base, colsi):
+                """Weighted x-tap one-hot for one output row: (LANE,
+                ncols) matrix mapping output lanes to window columns
+                relative to `base` (colsi: matching column iota)."""
+                xt = jnp.sum(
+                    jnp.broadcast_to(xrow, (LANE, LANE)) * ident,
+                    axis=1, keepdims=True,
+                )  # per-lane x values moved onto sublanes: (128, 1)
+                x0f = jnp.floor(xt)
+                wx = xt - x0f
+                x0i = x0f.astype(jnp.int32)
+                vx0 = ((x0i >= 0) & (x0i < w)).astype(jnp.float32)
+                vx1 = ((x0i + 1 >= 0) & (x0i + 1 < w)).astype(jnp.float32)
+                rx0 = x0i + PADX - base
+                return (colsi == rx0) * ((1.0 - wx) * vx0) + (
+                    colsi == rx0 + 1
+                ) * (wx * vx1)
+
+            def _yw_for(yrow):
+                """Per-lane vertical tap weights for one output row:
+                (w_y0, w_y1, y0i), each (1, LANE)."""
+                y0f = jnp.floor(yrow)
+                wy = yrow - y0f
+                y0i = y0f.astype(jnp.int32)
+                vy0 = ((y0i >= 0) & (y0i < h)).astype(jnp.float32)
+                vy1 = ((y0i + 1 >= 0) & (y0i + 1 < h)).astype(jnp.float32)
+                return (1.0 - wy) * vy0, wy * vy1, y0i
+
+            if b2 * cp <= _BAND_MM_ROWS:
+                # band-matmul: fold BOTH the source-row loop and _OCHUNK
+                # output rows into one MXU product.  The per-source-row
+                # matmul of the scan branch runs (cp, LANE) rows through
+                # the systolic array — 8/128 = 6% row utilization at the
+                # C=8 stage-4 shapes that dominate the train backward —
+                # and pays a serialized fori trip + dynamic RMW per source
+                # row.  When the WHOLE band fits the MXU's 128 rows, the
+                # y-tap band mask ym selects exactly the taps the scan
+                # would visit (rows outside [src_lo, src_lo+scnt) match no
+                # tap and add zero), so every band row's contribution is
+                # one matmul row; stacking _OCHUNK output rows along the
+                # contraction axis then collapses the remaining per-row
+                # trips: (b2*cp, OC*LANE) @ (OC*LANE, nko*LANE), one RMW
+                # per chunk.  Rows of one chunk share a window of nko =
+                # nk+1 lane-blocks based at their min xb; the rare chunk
+                # whose rows spread wider falls back to per-row matmuls.
+                nko = min(nk + 1, wp // LANE)
+                colso = jax.lax.broadcasted_iota(
+                    jnp.int32, (LANE, nko * LANE), 1)
+                srow = k * b2 + jax.lax.broadcasted_iota(
+                    jnp.int32, (b2, LANE), 0
+                )
+
+                def _band_ym(yrow):
+                    w_y0, w_y1, y0i = _yw_for(yrow)
+                    return (y0i == srow).astype(jnp.float32) * w_y0 + (
+                        y0i + 1 == srow
+                    ).astype(jnp.float32) * w_y1  # (b2, LANE)
+
+                def chunk_body(t, _):
+                    obase = start + t * _OCHUNK
+                    # slab slice start: clamped so the OC-row window fits
+                    # the slab; rows below obase (already done by earlier
+                    # trips) and at/after start+ocnt are masked invalid
+                    sc = jnp.clip(
+                        jnp.minimum(obase, start + ocnt - _OCHUNK),
+                        0, ocnt_max - _OCHUNK,
+                    )
+                    valid, xbr = [], []
+                    for r in range(_OCHUNK):
+                        vr = (sc + r >= obase) & (sc + r < start + ocnt)
+                        rw = rowm_ref[
+                            ((b * d + d_i) * h + lo + sc + r) * nxb + j
+                        ]
+                        valid.append(vr)
+                        xbr.append((rw >> 22) * LANE)
+                    big = jnp.int32(2 ** 30)
+                    xb_min = functools.reduce(jnp.minimum, [
+                        jnp.where(v, x, big) for v, x in zip(valid, xbr)
+                    ])
+                    xb_max = functools.reduce(jnp.maximum, [
+                        jnp.where(v, x, -1) for v, x in zip(valid, xbr)
+                    ])
+                    xcb = pl.multiple_of(
+                        jnp.clip(xb_min, 0, wp - nko * LANE), LANE
+                    )
+
+                    cot8 = cot_s[pl.ds(sc, _OCHUNK)]  # (OC, cp, LANE)
+                    x8 = x_s[pl.ds(sc, _OCHUNK), :]   # (OC, LANE)
+                    y8 = y_s[pl.ds(sc, _OCHUNK), :]   # (OC, LANE)
+
+                    @pl.when(xb_max - xb_min <= (nko - nk) * LANE)
+                    def _fast():
+                        v_parts, m_parts = [], []
+                        for r in range(_OCHUNK):
+                            ym = _band_ym(y8[r:r + 1, :]) * valid[
+                                r
+                            ].astype(jnp.float32)
+                            v_parts.append(
+                                (ym[:, None, :] * cot8[r][None, :, :])
+                                .reshape(b2 * cp, LANE)
+                            )
+                            m_parts.append(
+                                _mx_for(x8[r:r + 1, :], xcb, colso)
+                            )
+                        seg = jax.lax.dot_general(
+                            jnp.concatenate(v_parts, axis=1),
+                            jnp.concatenate(m_parts, axis=0),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # (b2*cp, nko*LANE)
+                        cur = out_ref[
+                            0, pl.ds(0, b2), :, pl.ds(xcb, nko * LANE)
+                        ].reshape(b2 * cp, nko * LANE)
+                        out_ref[
+                            0, pl.ds(0, b2), :, pl.ds(xcb, nko * LANE)
+                        ] = (cur + seg).reshape(b2, cp, nko * LANE)
+
+                    @pl.when(xb_max - xb_min > (nko - nk) * LANE)
+                    def _slow():
+                        for r in range(_OCHUNK):
+                            @pl.when(valid[r])
+                            def _row(r=r):
+                                xc = pl.multiple_of(xbr[r], LANE)
+                                v = (
+                                    _band_ym(y8[r:r + 1, :])[:, None, :]
+                                    * cot8[r][None, :, :]
+                                ).reshape(b2 * cp, LANE)
+                                seg = jax.lax.dot_general(
+                                    v, _mx_for(x8[r:r + 1, :], xc, cols),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                )  # (b2*cp, nk*LANE)
+                                cur = out_ref[
+                                    0, pl.ds(0, b2), :,
+                                    pl.ds(xc, nk * LANE),
+                                ].reshape(b2 * cp, nk * LANE)
+                                out_ref[
+                                    0, pl.ds(0, b2), :,
+                                    pl.ds(xc, nk * LANE),
+                                ] = (cur + seg).reshape(b2, cp, nk * LANE)
+
+                    return 0
+
+                jax.lax.fori_loop(
+                    0, (ocnt + _OCHUNK - 1) // _OCHUNK, chunk_body, 0
+                )
+                return
+
             def o_body(oi, _):
                 orow = start + oi          # slab-relative output row
                 or_abs = lo + orow
@@ -130,69 +286,9 @@ def _scatter_kernel(rowm_ref, blkm_ref, cot_hbm, x_hbm, y_hbm, out_ref,
                 src_lo = ((rw >> 8) & 0x3FFF) - _BIAS
                 scnt = rw & 0xFF
 
-                # per-lane x values moved onto sublanes: (128, 1)
-                xrow = x_s[pl.ds(orow, 1), :]  # (1, LANE)
-                xt = jnp.sum(
-                    jnp.broadcast_to(xrow, (LANE, LANE)) * ident,
-                    axis=1, keepdims=True,
-                )
-                x0f = jnp.floor(xt)
-                wx = xt - x0f
-                x0i = x0f.astype(jnp.int32)
-                vx0 = ((x0i >= 0) & (x0i < w)).astype(jnp.float32)
-                vx1 = ((x0i + 1 >= 0) & (x0i + 1 < w)).astype(jnp.float32)
-                rx0 = x0i + PADX - xb
-                mx = (cols == rx0) * ((1.0 - wx) * vx0) + (
-                    cols == rx0 + 1
-                ) * (wx * vx1)  # (LANE, nk*LANE)
-
-                # lane-oriented y row for the per-lane row masks
-                yr = y_s[pl.ds(orow, 1), :]  # (1, LANE)
-                y0f = jnp.floor(yr)
-                wy = yr - y0f
-                y0i = y0f.astype(jnp.int32)
-                vy0 = ((y0i >= 0) & (y0i < h)).astype(jnp.float32)
-                vy1 = ((y0i + 1 >= 0) & (y0i + 1 < h)).astype(jnp.float32)
-                w_y0 = (1.0 - wy) * vy0
-                w_y1 = wy * vy1
-
+                mx = _mx_for(x_s[pl.ds(orow, 1), :], xb, cols)
+                w_y0, w_y1, y0i = _yw_for(y_s[pl.ds(orow, 1), :])
                 cot_row = cot_s[pl.ds(orow, 1)].reshape(cp, LANE)
-
-                if b2 * cp <= _BAND_MM_ROWS:
-                    # band-matmul: fold the source-row loop into the MXU.
-                    # The per-source-row matmul above runs (cp, LANE) rows
-                    # through the systolic array — 8/128 = 6% row
-                    # utilization at the C=8 stage-4 shapes that dominate
-                    # the train backward — and pays a serialized fori trip
-                    # + dynamic RMW per source row.  When the WHOLE band
-                    # fits the MXU's 128 rows, one (b2*cp, LANE) matmul
-                    # computes every band row's contribution at full
-                    # utilization: the y-tap masks select exactly the taps
-                    # the scan visited (rows outside [src_lo, src_lo+scnt)
-                    # match no tap and add zero), so the sum per output
-                    # element is identical.
-                    srow = k * b2 + jax.lax.broadcasted_iota(
-                        jnp.int32, (b2, LANE), 0
-                    )
-                    ym = (y0i == srow).astype(jnp.float32) * w_y0 + (
-                        y0i + 1 == srow
-                    ).astype(jnp.float32) * w_y1  # (b2, LANE)
-                    v = (ym[:, None, :] * cot_row[None, :, :]).reshape(
-                        b2 * cp, LANE
-                    )
-                    seg = jax.lax.dot_general(
-                        v, mx, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (b2*cp, nk*LANE)
-                    xc = pl.multiple_of(xb, LANE)
-                    cur = out_ref[
-                        0, pl.ds(0, b2), :, pl.ds(xc, nk * LANE)
-                    ].reshape(b2 * cp, nk * LANE)
-                    out_ref[
-                        0, pl.ds(0, b2), :, pl.ds(xc, nk * LANE)
-                    ] = (cur + seg).reshape(b2, cp, nk * LANE)
-                    return 0
 
                 def s_body(r, _):
                     sr_abs = src_lo + r

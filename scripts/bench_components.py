@@ -95,8 +95,10 @@ def main():
     from mvster_tpu.models import MVS4Net, MVS4NetConfig
     from mvster_tpu.nn.fpn import FPN4
     from mvster_tpu.nn.reg import Reg2d
+    from mvster_tpu.utils.cache import enable_compilation_cache
     from mvster_tpu.utils.profiling import chain_latency
 
+    enable_compilation_cache()  # the debug forward alone is ~20 min cold
     cfg = MVS4NetConfig.dtu_default(mono=False, compute_dtype=dtype,
                                     reg2d_fold=ns.fold,
                                     fpn_compose=ns.fpn_compose,

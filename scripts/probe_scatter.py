@@ -49,6 +49,10 @@ def main():
     from bench_components import stage_inputs
     from helpers import synthetic_sample
 
+    from mvster_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # the debug forward alone is ~20 min cold
+
     from mvster_tpu.core.geometry import plane_sweep_coords
     from mvster_tpu.kernels import pallas_scatter as ps
     from mvster_tpu.kernels.pallas_scatter import (

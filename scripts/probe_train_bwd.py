@@ -45,7 +45,10 @@ def main():
     import mvster_tpu.models.losses as losses_mod
     from mvster_tpu.models import MVS4Net, MVS4NetConfig
     from mvster_tpu.models.losses import mvs4net_loss
+    from mvster_tpu.utils.cache import enable_compilation_cache
     from mvster_tpu.utils.profiling import chain_latency
+
+    enable_compilation_cache()  # 8 vag compiles; repeat windows reuse them
 
     s = synthetic_sample(0, batch=ns.batch, nviews=5, h=512, w=640,
                          with_gt=True)

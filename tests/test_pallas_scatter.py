@@ -40,10 +40,38 @@ def test_scatter_matches_xla_vjp(C):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_band_chunk_slow_path_matches_xla():
+    """Chunks whose rows' window bases spread more than (nko-nk) blocks
+    take the per-row fallback; craft coords whose x jumps ~3 lane-blocks
+    every 4 output rows so every chunk trips it (W=640: nk=3, nko=4,
+    xb spreads 128 -> 512 within a chunk, > (nko-nk)*LANE)."""
+    from mvster_tpu.kernels.pallas_scatter import scatter_grad_pallas
+
+    from mvster_tpu.core.sampling import grid_sample_zeros
+
+    rng = np.random.default_rng(3)
+    B, D, H, W, C = 1, 2, 32, 640, 8
+    cot = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    i = np.arange(H, dtype=np.float32)[None, None, :, None]
+    jj = np.arange(W, dtype=np.float32)[None, None, None, :]
+    x = np.broadcast_to(
+        0.15 * jj + 20.0 + 400.0 * ((i // 4) % 2), (B, D, H, W)
+    ).astype(np.float32)
+    y = np.broadcast_to(i * 0.9 + 0.3, (B, D, H, W)).astype(np.float32)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(scatter_grad_pallas(cot, x, y, (B, H, W, C)))
+    _, vjp = jax.vjp(
+        lambda s: grid_sample_zeros(s, x, y), jnp.zeros((B, H, W, C)))
+    ref = np.asarray(vjp(cot)[0])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_band_matmul_matches_legacy_scan():
-    """The band-matmul branch computes the identical per-element tap sum
-    as the scnt-bounded scan it folds into the MXU (same contraction over
-    lanes, same o-row accumulation order)."""
+    """The band-matmul branch (chunked: _OCHUNK output rows stacked along
+    the contraction axis) computes the identical per-element tap sum as
+    the scnt-bounded scan it folds into the MXU."""
     from mvster_tpu.kernels import pallas_scatter as ps
 
     rng = np.random.default_rng(2)
